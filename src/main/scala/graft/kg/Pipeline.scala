@@ -1,0 +1,285 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.model._
+import graft.tag.{Ontology, Taggers}
+import graft.text.Text
+
+/** The staged KG-construction dataflow (SURVEY.md §3.2): scan → sentence
+  * explode → tagging stages → relation stages → enrichment → linking →
+  * triple materialization. Each stage is a declarative Dataset transform;
+  * the heavyweight per-sentence logic runs in `mapPartitions`-style typed
+  * maps over broadcast lexicons (the reference loads its checkpoints once
+  * per process, EventPipeline.py:635-665 — here the lexicons are literal
+  * objects shipped in the closure, the moral equivalent of a broadcast of
+  * model parameters).
+  *
+  * Every per-sentence relational step (A1 aggregation, J4 self-join, J1
+  * alignment, J2 duration merge, U1 union) keys on the same `sentKey`
+  * column, so Catalyst reuses one hash-partitioning across the chain
+  * instead of reshuffling per step — the property that keeps the plan
+  * shuffle-count constant as data scales.
+  */
+object Pipeline {
+
+  /** Per-(sentence,event) expanded row — output of X1 event expansion. */
+  case class EventRow(
+      repo: String,
+      path: String,
+      contentSha: String,
+      lineNum: Int,
+      senNum: Int,
+      sentKey: String,
+      eventId: String,
+      eventType: String,
+      trigText: String,
+      trigLemma: String,
+      trigStart: Int,
+      trigEnd: Int,
+      args: Seq[Argument])
+
+  case class TaggedSentence(
+      repo: String,
+      path: String,
+      contentSha: String,
+      lineNum: Int,
+      senNum: Int,
+      sentKey: String,
+      tokens: Seq[String],
+      ner: Seq[NerSpan],
+      triggers: Seq[Trigger],
+      negationCue: Seq[Int],
+      negationScope: Seq[Int])
+
+  def sentKeyOf(repo: String, path: String, line: Int, sen: Int): String =
+    s"$repo/$path#L$line:S$sen"
+
+  def eventIdOf(sentKey: String, trigStart: Int): String =
+    s"$sentKey:T$trigStart"
+
+  // ---- stage 1: scan + sentence segmentation + tokenization ----
+
+  /** S1 + P1: source files → sentences, tokenized ONCE (the reference
+    * re-tokenizes per component and fuzz-joins, SURVEY.md J1; we share).
+    * The flatMap is narrow — no shuffle. */
+  def sentences(spark: SparkSession, files: Dataset[SourceFile]): Dataset[Sentence] = {
+    import spark.implicits._
+    files.flatMap { f =>
+      val sha = Text.sha256(f.content)
+      Text.naturalText(f.lang, f.content).flatMap { case (lineNum, text) =>
+        Text.sentSplit(text).zipWithIndex.map { case (sent, senNum) =>
+          Sentence(f.repo, f.path, sha, lineNum, senNum, sent, Text.tokenize(sent))
+        }
+      }
+    }
+  }
+
+  // ---- stage 2: NER + trigger + negation tagging (BETTER analog) ----
+
+  /** mapPartitions tagging stage: NER CRF decode → trigger decode with
+    * P11a mask → negation cue+scope (two chained passes, train.py:1791-
+    * 1813). Narrow — no shuffle. */
+  def tagStage(spark: SparkSession, sents: Dataset[Sentence]): Dataset[TaggedSentence] = {
+    import spark.implicits._
+    sents.mapPartitions { it =>
+      it.map { s =>
+        val ner = Taggers.nerSpans(s.tokens)
+        val triggers = Taggers.triggerSpans(s.tokens, ner)
+        val cues = Taggers.negationCues(s.tokens)
+        val scope = Taggers.negationScope(s.tokens, cues)
+        TaggedSentence(s.repo, s.path, s.contentSha, s.lineNum, s.senNum,
+          sentKeyOf(s.repo, s.path, s.lineNum, s.senNum),
+          s.tokens, ner, triggers, cues, scope)
+      }
+    }
+  }
+
+  // ---- stage 3: X1 event expansion + per-event argument tagging ----
+
+  /** One row per decoded trigger (the reference's expand_sents,
+    * EventPipeline.py:429-576), argument model run per expanded pair with
+    * P11b/P11c masks. flatMap — narrow. */
+  def eventRows(spark: SparkSession, tagged: Dataset[TaggedSentence]): Dataset[EventRow] = {
+    import spark.implicits._
+    tagged.flatMap { t =>
+      t.triggers.map { tr =>
+        val args = Taggers.argumentSpans(t.tokens, t.ner, tr)
+        EventRow(t.repo, t.path, t.contentSha, t.lineNum, t.senNum, t.sentKey,
+          eventIdOf(t.sentKey, tr.start), tr.eventType, tr.text,
+          Ontology.lemmaOf(tr.text), tr.start, tr.end, args)
+      }
+    }
+  }
+
+  // ---- stage 4: TempRel — A1 head aggregation + J4 pair self-join ----
+
+  /** Per-token head-evidence rows (two evidence channels per token). */
+  def headEvidence(spark: SparkSession, sents: Dataset[Sentence]): DataFrame = {
+    import spark.implicits._
+    sents.flatMap { s =>
+      val key = sentKeyOf(s.repo, s.path, s.lineNum, s.senNum)
+      s.tokens.zipWithIndex.flatMap { case (tok, i) =>
+        Taggers.headEvidence(tok).map(p => (key, i, tok, p))
+      }
+    }.toDF("sentKey", "tokIdx", "tok", "prob")
+  }
+
+  /** A1: mean(prob) > 0.5 per (sentence, token) — joint_model.py:342-369.
+    * Partial aggregation (map-side combine) is free from Catalyst here. */
+  def eventHeads(evidence: DataFrame): DataFrame =
+    evidence.groupBy("sentKey", "tokIdx", "tok")
+      .agg(avg("prob").as("p"))
+      .filter(col("p") > 0.5)
+      .select("sentKey", "tokIdx", "tok")
+
+  /** J4: per-sentence ordered pairs (the theta self-join,
+    * joint_model.py:403-437) with the distance feature. Cardinality is
+    * sentence-bounded (≤ C(heads,2) per sentence), so the N² is safe at
+    * any corpus scale. */
+  def relationCandidates(heads: DataFrame): DataFrame = {
+    val l = heads.select(col("sentKey"), col("tokIdx").as("l"), col("tok").as("ltok"))
+    val r = heads.select(col("sentKey"), col("tokIdx").as("r"), col("tok").as("rtok"))
+    l.join(r, Seq("sentKey"))
+      .filter(col("l") < col("r"))
+      .withColumn("dist", col("r") - col("l")) // distance feature :431-432
+  }
+
+  /** Relation scorer: first temporal connective strictly between the two
+    * heads decides the label (NONE seed otherwise, joint_model.py:431).
+    * Pure Catalyst higher-order functions — stays in whole-stage codegen;
+    * no UDF. */
+  def scoreRelations(candidates: DataFrame, sentTokens: DataFrame): DataFrame = {
+    val connMap = typedLit(Ontology.Connectives)
+    candidates.join(sentTokens, Seq("sentKey"))
+      .withColumn("between", slice(col("tokens"), col("l") + 2, greatest(col("dist") - 1, lit(0))))
+      .withColumn("connLabels",
+        filter(transform(col("between"), t => try_element_at(connMap, lower(t))),
+          x => x.isNotNull))
+      .withColumn("label", coalesce(try_element_at(col("connLabels"), lit(1)), lit("NONE")))
+      .select("sentKey", "l", "r", "label")
+  }
+
+  /** P6: drop VAGUE and NONE (main.py:184-186). */
+  def filterRelations(scored: DataFrame): DataFrame =
+    scored.filter(!col("label").isin("VAGUE", "NONE"))
+
+  // ---- stage 5: J1 alignment + P7 containment + U1 union ----
+
+  /** J1: fuzzy nearest alignment of TempRel heads onto BETTER tokens
+    * (main.py:117-144): equi-join on (sentKey, cleanTok == headText), band
+    * |Δidx| ≤ 2, nearest-by-|Δ| wins via row_number (W1: `closest`,
+    * main.py:18-19). Exact-idx match wins automatically (|Δ|=0 sorts
+    * first). */
+  def alignHeads(heads: DataFrame, sentTokens: DataFrame): DataFrame = {
+    val toks = sentTokens
+      .select(col("sentKey"), posexplode(col("tokens")).as(Seq("bIdx", "bTok")))
+      .withColumn("bClean", regexp_replace(col("bTok"), "\\.", ""))
+    val cand = heads
+      .join(toks, Seq("sentKey"))
+      .filter(col("bClean") === regexp_replace(col("tok"), "\\.", "") &&
+        abs(col("bIdx") - col("tokIdx")) <= 2)
+    val w = Window.partitionBy("sentKey", "tokIdx")
+      .orderBy(abs(col("bIdx") - col("tokIdx")), col("bIdx"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("sentKey"), col("tokIdx"), col("bIdx").as("alignedIdx"),
+        col("bTok").as("alignedTok"))
+  }
+
+  /** P7 + endpoint mapping (J3): keep relations whose BOTH endpoints
+    * aligned (main.py:179-183), and rewrite endpoints to aligned token
+    * positions. */
+  def mapRelationEndpoints(relations: DataFrame, aligned: DataFrame): DataFrame = {
+    val aL = aligned.select(col("sentKey"), col("tokIdx").as("l"),
+      col("alignedIdx").as("lAligned"))
+    val aR = aligned.select(col("sentKey"), col("tokIdx").as("r"),
+      col("alignedIdx").as("rAligned"))
+    relations.join(aL, Seq("sentKey", "l")).join(aR, Seq("sentKey", "r"))
+      .select("sentKey", "lAligned", "rAligned", "label")
+  }
+
+  /** U1: aligned TempRel heads NOT contained in a BETTER trigger are
+    * injected as typeless single-token events (main.py:140-167): anti-join
+    * + unionByName. */
+  def injectTempRelOnlyEvents(spark: SparkSession, aligned: DataFrame,
+      events: Dataset[EventRow], tagged: Dataset[TaggedSentence]): Dataset[EventRow] = {
+    import spark.implicits._
+    val triggerKeys = events.select(col("sentKey"), col("trigStart"))
+    val nonContained = aligned.join(triggerKeys,
+      aligned("sentKey") === triggerKeys("sentKey") &&
+        aligned("alignedIdx") === triggerKeys("trigStart"),
+      "left_anti")
+    val sentMeta = tagged.select(col("sentKey").as("sk"), col("repo"),
+      col("path"), col("contentSha"), col("lineNum"), col("senNum"))
+    val injected = nonContained
+      .join(sentMeta, nonContained("sentKey") === sentMeta("sk"))
+      .select(col("repo"), col("path"), col("contentSha"), col("lineNum"),
+        col("senNum"), col("sentKey"),
+        concat(col("sentKey"), lit(":T"), col("alignedIdx")).as("eventId"),
+        lit("").as("eventType"), col("alignedTok").as("trigText"),
+        lower(col("alignedTok")).as("trigLemma"),
+        col("alignedIdx").as("trigStart"), col("alignedIdx").as("trigEnd"),
+        typedLit(Seq.empty[Argument]).as("args"))
+      .as[EventRow]
+    events.unionByName(injected).dropDuplicates("eventId")
+  }
+
+  // ---- stage 6: duration (J2) + speculation (P9) ----
+
+  /** Duration classification per trigger row (the reference's REST hop,
+    * main.py:51-62 + REST_service/main.py — eliminated into an in-process
+    * mapPartitions stage per SURVEY.md S6). */
+  def durations(spark: SparkSession, events: Dataset[EventRow]): DataFrame = {
+    import spark.implicits._
+    events.mapPartitions { it =>
+      it.map(e => (e.sentKey, e.trigStart, Taggers.durationOf(e.trigText)))
+    }.toDF("sentKey", "trigStart", "duration")
+  }
+
+  /** J2 blank-then-join (main.py:173-175, 209-215) + P9 speculation from
+    * the negation scope (main.py:226-230). Same-key joins — partitioning
+    * reused. */
+  def enrich(spark: SparkSession, events: Dataset[EventRow], durs: DataFrame,
+      tagged: Dataset[TaggedSentence]): DataFrame = {
+    val scope = tagged.select(col("sentKey"), col("negationScope"))
+    events
+      .join(durs, Seq("sentKey", "trigStart"), "left")
+      .withColumn("duration", coalesce(col("duration"), lit("")))
+      .join(scope, Seq("sentKey"), "left")
+      .withColumn("speculation",
+        coalesce(element_at(col("negationScope"), col("trigStart") + 1) === 1,
+          lit(false)))
+      .drop("negationScope")
+  }
+
+  // ---- full annotate: the composed DAG up to enriched events ----
+
+  case class Annotated(
+      tagged: Dataset[TaggedSentence],
+      events: DataFrame, // EventRow + duration + speculation
+      relations: DataFrame) // sentKey, lAligned, rAligned, label
+
+  def annotate(spark: SparkSession, files: Dataset[SourceFile]): Annotated = {
+    import spark.implicits._
+    val sents = sentences(spark, files)
+      .repartition(col("repo"), col("path")) // co-locate per-file sentences
+      .persist()
+    val tagged = tagStage(spark, sents).persist()
+    val events = eventRows(spark, tagged)
+    val sentToks = sents.select(
+      concat(col("repo"), lit("/"), col("path"), lit("#L"), col("lineNum"),
+        lit(":S"), col("senNum")).as("sentKey"),
+      col("tokens"))
+    val heads = eventHeads(headEvidence(spark, sents))
+    val aligned = alignHeads(heads, sentToks).persist()
+    val scored = scoreRelations(relationCandidates(heads), sentToks)
+    val rels = mapRelationEndpoints(filterRelations(scored), aligned)
+    val allEvents = injectTempRelOnlyEvents(spark, aligned, events, tagged)
+    val durs = durations(spark, allEvents)
+    val enriched = enrich(spark, allEvents, durs, tagged)
+    Annotated(tagged, enriched, rels)
+  }
+}

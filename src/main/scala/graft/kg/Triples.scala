@@ -1,0 +1,100 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.link.Canonicalize
+import graft.model._
+
+/** Triple materialization (FIXTURES.md §3): the KG reading of the
+  * reference's per-sentence annotation (SURVEY.md §0) —
+  *   (event, hasType, TYPE), (event, ROLE, argText),
+  *   (event, hasDuration, D), (event, speculated, true),
+  *   (e1, TEMPORAL_REL, e2), (doc, hasEntity, TYPE:text),
+  *   (event, sameAs, canonicalEvent).
+  * Lineage columns (repo, path, content sha256) ride on every row — the
+  * per-row invariant of BASELINE.json.
+  */
+object Triples {
+
+  private val tripleCols = Seq("subj", "pred", "obj", "repo", "path", "contentSha")
+
+  /** Emit all triples from an annotated corpus. `events` is the enriched
+    * EventRow frame (with duration + speculation); `relations` is the
+    * aligned relation frame. */
+  def emit(spark: SparkSession, ann: Pipeline.Annotated): DataFrame = {
+    val events = ann.events.persist()
+
+    val lineage = Seq(col("repo"), col("path"), col("contentSha"))
+
+    // (event, hasType, TYPE) — typed events only (typeless U1-injected
+    // events carry no hasType triple; the reference renders them untyped,
+    // main.py:152-167)
+    val hasType = events.filter(col("eventType") =!= "")
+      .select(Seq(col("eventId").as("subj"), lit("hasType").as("pred"),
+        col("eventType").as("obj")) ++ lineage: _*)
+
+    // (event, ROLE, canonicalized arg text) — coref-canonicalized (J5)
+    val argMentions = events
+      .select((Seq(col("eventId"), explode(col("args")).as("arg")) ++ lineage): _*)
+      .select(Seq(col("eventId"), col("arg.role").as("role"),
+        col("arg.text").as("text")) ++ lineage: _*)
+    val formMap = Canonicalize.canonicalForms(spark, argMentions)
+    val argTriples = Canonicalize.rewrite(argMentions, formMap)
+      .select(Seq(col("eventId").as("subj"), col("role").as("pred"),
+        col("canonical").as("obj")) ++ lineage: _*)
+
+    // (event, hasDuration, D) for non-blank durations (J2 output)
+    val durTriples = events.filter(col("duration") =!= "")
+      .select(Seq(col("eventId").as("subj"), lit("hasDuration").as("pred"),
+        col("duration").as("obj")) ++ lineage: _*)
+
+    // (event, speculated, true) — P9
+    val specTriples = events.filter(col("speculation") === true)
+      .select(Seq(col("eventId").as("subj"), lit("speculated").as("pred"),
+        lit("true").as("obj")) ++ lineage: _*)
+
+    // (e1, REL, e2) — endpoints are aligned token positions; event ids are
+    // data-derived (deterministic under any partitioning, SURVEY.md §7.4)
+    val sentMeta = ann.tagged.select(col("sentKey"), col("repo"), col("path"),
+      col("contentSha"))
+    val relTriples = ann.relations.join(sentMeta, Seq("sentKey"))
+      .select(Seq(
+        concat(col("sentKey"), lit(":T"), col("lAligned")).as("subj"),
+        col("label").as("pred"),
+        concat(col("sentKey"), lit(":T"), col("rAligned")).as("obj")) ++ lineage: _*)
+
+    // (doc, hasEntity, TYPE:text) — NER spans (views.py graph nodes analog)
+    val entTriples = ann.tagged
+      .select(col("repo"), col("path"), col("contentSha"), col("tokens"),
+        explode(col("ner")).as("n"))
+      .select(Seq(
+        concat(col("repo"), lit("/"), col("path")).as("subj"),
+        lit("hasEntity").as("pred"),
+        concat(col("n.label"), lit(":"),
+          array_join(slice(col("tokens"), col("n.start") + 1,
+            col("n.end") - col("n.start") + 1), " ")).as("obj")) ++ lineage: _*)
+
+    // (event, sameAs, canonicalEvent) — event linking: block on
+    // (repo, trigger lemma, type); canonical id = min eventId in block.
+    // Two-phase: partial-aggregated groupBy (map-side combine absorbs the
+    // hot-lemma skew), then broadcast the small block→canonical map back.
+    val typed = events.filter(col("eventType") =!= "")
+    val blockCanon = typed
+      .groupBy(col("repo"), col("trigLemma"), col("eventType"))
+      .agg(min(col("eventId")).as("canonicalId"))
+    val sameAs = typed
+      .join(broadcast(blockCanon), Seq("repo", "trigLemma", "eventType"))
+      .filter(col("eventId") =!= col("canonicalId"))
+      .select(Seq(col("eventId").as("subj"), lit("sameAs").as("pred"),
+        col("canonicalId").as("obj")) ++ lineage: _*)
+
+    hasType.unionByName(argTriples).unionByName(durTriples)
+      .unionByName(specTriples).unionByName(relTriples)
+      .unionByName(entTriples).unionByName(sameAs)
+  }
+
+  /** End-to-end: source files → triples. */
+  def fromFiles(spark: SparkSession, files: Dataset[SourceFile]): DataFrame =
+    emit(spark, Pipeline.annotate(spark, files))
+}

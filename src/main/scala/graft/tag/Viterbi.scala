@@ -1,0 +1,92 @@
+package graft.tag
+
+/** k-best Viterbi decoder over per-token emission scores + a transition
+  * matrix — the pure-Scala stand-in for the reference's CRF decode
+  * (component/BETTER/joint/CRF_util.py:45-173; k=1 fast path :60-65, which
+  * is what the demo config uses — saved_args.json k_ner/k_tri/k_arg = 1).
+  *
+  * Scores are log-potentials; -inf (Double.NegativeInfinity) masks a label
+  * at a position — exactly how the reference applies its decode-time
+  * constraint masks (`masked_fill -1e7`, neural_model.py:484-486,514-523;
+  * SURVEY.md P11).
+  */
+object Viterbi {
+
+  val NegInf: Double = Double.NegativeInfinity
+
+  /** Decode the single best path.
+    *
+    * @param emissions  emissions(t)(l) = log-score of label l at position t
+    * @param transition transition(l1)(l2) = log-score of l1 -> l2
+    * @return best label-index path (length = emissions.length)
+    */
+  def decode(emissions: Array[Array[Double]], transition: Array[Array[Double]]): Array[Int] =
+    decodeK(emissions, transition, 1).headOption.map(_._1).getOrElse(Array.empty)
+
+  /** k-best decode, mirroring the modified Viterbi with per-path extraction
+    * of CRF_util.py:67-173 (list-Viterbi: keep k best (score, backpointer)
+    * per state). Returns up to k (path, score) pairs, best first. */
+  def decodeK(emissions: Array[Array[Double]], transition: Array[Array[Double]],
+      k: Int): Seq[(Array[Int], Double)] = {
+    val n = emissions.length
+    if (n == 0) return Seq.empty
+    val L = emissions(0).length
+    // dp(t)(l) = up to k best (score, prevLabel, prevRank)
+    val dp = Array.ofDim[Array[(Double, Int, Int)]](n, L)
+    for (l <- 0 until L)
+      dp(0)(l) = Array((emissions(0)(l), -1, -1))
+    for (t <- 1 until n; l <- 0 until L) {
+      val cands = new scala.collection.mutable.ArrayBuffer[(Double, Int, Int)]
+      if (emissions(t)(l) != NegInf) {
+        for (p <- 0 until L if transition(p)(l) != NegInf) {
+          val prev = dp(t - 1)(p)
+          var r = 0
+          while (r < prev.length) {
+            val s = prev(r)._1
+            if (s != NegInf)
+              cands += ((s + transition(p)(l) + emissions(t)(l), p, r))
+            r += 1
+          }
+        }
+      }
+      dp(t)(l) =
+        if (cands.isEmpty) Array((NegInf, -1, -1))
+        else cands.sortBy(-_._1).take(k).toArray
+    }
+    // gather k best endings
+    val endings = for {
+      l <- 0 until L
+      r <- dp(n - 1)(l).indices
+      if dp(n - 1)(l)(r)._1 != NegInf
+    } yield (dp(n - 1)(l)(r)._1, l, r)
+    endings.sortBy(-_._1).take(k).map { case (score, lastL, lastR) =>
+      val path = new Array[Int](n)
+      var l = lastL; var r = lastR
+      var t = n - 1
+      while (t >= 0) {
+        path(t) = l
+        val (_, pl, pr) = dp(t)(l)(r)
+        l = pl; r = pr
+        t -= 1
+      }
+      (path, score)
+    }
+  }
+
+  /** BIO-consistent transition matrix for a label vocabulary where index 0
+    * is "O", followed by (B-x, I-x) pairs (or B-only tags). Disallows I-x
+    * unless preceded by B-x or I-x. All allowed transitions score 0. */
+  def bioTransitions(labels: Array[String]): Array[Array[Double]] = {
+    val L = labels.length
+    Array.tabulate(L, L) { (from, to) =>
+      val t = labels(to)
+      if (!t.startsWith("I-")) 0.0
+      else {
+        val f = labels(from)
+        val tail = t.substring(2)
+        if ((f.startsWith("B-") || f.startsWith("I-")) && f.substring(2) == tail) 0.0
+        else NegInf
+      }
+    }
+  }
+}

@@ -1,0 +1,247 @@
+package graft.text
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Deterministic, pure-Scala text primitives shared by every stage.
+  *
+  * The reference tokenizes with spaCy `en_core_web_sm` in THREE places
+  * (project/APIs/main.py:71-75, event_pipeline_demo.py:185-189,
+  * joint_model.py:197-199) and sentence-splits with nltk
+  * (test_on_raw_text.py:84-95). We replace both with deterministic
+  * rule-based functions so outputs are identical across stages and across
+  * any partitioning of the data — a requirement for the two-parallelism
+  * scaling benchmark to be a valid comparison (SURVEY.md §4).
+  */
+object Text {
+
+  /** Common abbreviations that do NOT end a sentence. */
+  private val Abbrev: Set[String] = Set(
+    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc", "inc",
+    "ltd", "co", "corp", "gov", "gen", "col", "sgt", "lt", "capt", "u.s",
+    "u.k", "u.n", "e.g", "i.e", "jan", "feb", "mar", "apr", "jun", "jul",
+    "aug", "sep", "sept", "oct", "nov", "dec")
+
+  /** Sentence segmentation (reference: nltk.sent_tokenize,
+    * test_on_raw_text.py:84-95). Splits on `.`, `!`, `?` followed by
+    * whitespace + an uppercase/digit start, honoring the abbreviation list
+    * and decimal points. Deterministic by construction. */
+  def sentSplit(text: String): Seq[String] = {
+    if (text == null || text.isEmpty) return Seq.empty
+    val out = ArrayBuffer.empty[String]
+    val n = text.length
+    var start = 0
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '.' || c == '!' || c == '?') {
+        // lookahead: whitespace then sentence-initial char (or end)
+        var j = i + 1
+        // consume closing quotes/parens attached to the terminator
+        while (j < n && (text.charAt(j) == '"' || text.charAt(j) == '\'' ||
+            text.charAt(j) == ')')) j += 1
+        var k = j
+        while (k < n && Character.isWhitespace(text.charAt(k))) k += 1
+        val boundaryCandidate = k > j || k == n
+        val nextOk = k == n || Character.isUpperCase(text.charAt(k)) ||
+          Character.isDigit(text.charAt(k)) || text.charAt(k) == '"'
+        val isAbbrev = c == '.' && {
+          // word immediately before the period
+          var w = i - 1
+          while (w >= 0 && !Character.isWhitespace(text.charAt(w))) w -= 1
+          val word = text.substring(w + 1, i).toLowerCase
+            .stripPrefix("(").stripPrefix("\"")
+          Abbrev.contains(word) || word.matches("[a-z]") ||
+            word.matches(".*\\d") // decimal like "3.5" handled below too
+        }
+        val isDecimal = c == '.' && i + 1 < n && Character.isDigit(text.charAt(i + 1))
+        if (boundaryCandidate && nextOk && !isAbbrev && !isDecimal) {
+          val s = text.substring(start, j).trim
+          if (s.nonEmpty) out += s
+          start = k
+          i = k - 1
+        }
+      }
+      i += 1
+    }
+    val tail = text.substring(start).trim
+    if (tail.nonEmpty) out += tail
+    out.toSeq
+  }
+
+  /** Penn-style word tokenizer, replacing spaCy (main.py:71-75). Newlines
+    * are mapped to spaces first, mirroring `text.replace('\n',' ')`
+    * (main.py:72). Rules:
+    *   - split on whitespace;
+    *   - split off leading/trailing punctuation (.,;:!?"'()[]{});
+    *   - keep numbers with internal commas/periods together ("17,000",
+    *     "3.5");
+    *   - keep dotted acronyms together ("U.S.");
+    *   - split contractions: "don't" -> "do" "n't", "'s" off;
+    *   - keep hyphenated words together.
+    */
+  def tokenize(raw: String): Seq[String] = {
+    if (raw == null) return Seq.empty
+    val text = raw.replace('\n', ' ')
+    val out = ArrayBuffer.empty[String]
+    for (chunk0 <- text.split("\\s+") if chunk0.nonEmpty) {
+      var chunk = chunk0
+      val lead = ArrayBuffer.empty[String]
+      val trail = ArrayBuffer.empty[String]
+      // leading punctuation
+      var done = false
+      while (!done && chunk.nonEmpty) {
+        val c = chunk.charAt(0)
+        if ("\"'([{“”‘’«".indexOf(c.toInt) >= 0) {
+          lead += c.toString; chunk = chunk.substring(1)
+        } else done = true
+      }
+      // trailing punctuation (repeatedly), but keep dotted acronyms and
+      // numbers with a trailing period attached to a digit? No — final
+      // period always splits unless part of an acronym like "U.S."
+      done = false
+      while (!done && chunk.nonEmpty) {
+        val c = chunk.charAt(chunk.length - 1)
+        val isPunct = ".,;:!?\"')]}“”‘’»".indexOf(c.toInt) >= 0
+        if (isPunct) {
+          val isAcronym = c == '.' && chunk.matches("([A-Za-z]\\.)+")
+          val isDecimalTail = (c == ',' || c == '.') && false
+          if (isAcronym || isDecimalTail) done = true
+          else { trail.prepend(c.toString); chunk = chunk.dropRight(1) }
+        } else done = true
+      }
+      // contractions
+      val parts: Seq[String] =
+        if (chunk.isEmpty) Seq.empty
+        else {
+          val lower = chunk.toLowerCase
+          if (lower.endsWith("n't") && chunk.length > 3)
+            Seq(chunk.dropRight(3), chunk.takeRight(3))
+          else if ((lower.endsWith("'s") || lower.endsWith("'re") ||
+              lower.endsWith("'ve") || lower.endsWith("'ll") ||
+              lower.endsWith("'d") || lower.endsWith("'m")) && {
+                val idx = chunk.lastIndexOf('\'')
+                idx > 0
+              }) {
+            val idx = chunk.lastIndexOf('\'')
+            Seq(chunk.substring(0, idx), chunk.substring(idx))
+          } else Seq(chunk)
+        }
+      out ++= lead
+      out ++= parts.filter(_.nonEmpty)
+      out ++= trail
+    }
+    out.toSeq
+  }
+
+  /** Decoded BIO span: (label, startToken, endToken) inclusive. */
+  final case class SpanLabel(label: String, start: Int, end: Int)
+
+  /** BIO tag-sequence -> spans, an EXACT mirror of the reference's
+    * `iob_to_obj` (component/BETTER/joint/JsonBuilder.py:8-34), including
+    * its quirks:
+    *   - a span opens only at a tag present in `b2i` (a B- tag);
+    *   - it continues only through tags equal to `b2i(openingTag)`;
+    *   - orphan I- tags (no preceding B-) are DROPPED;
+    *   - a label change closes the current span at the previous token;
+    *   - a span reaching the last position closes there.
+    * For triggers the reference maps B2I[B]=B (event_pipeline_demo.py:71-78),
+    * i.e. runs of the same B- tag merge into one span — the same map works
+    * here unchanged.
+    */
+  def bioDecode(tags: Seq[String], b2i: Map[String, String]): Seq[SpanLabel] = {
+    val obj = ArrayBuffer.empty[SpanLabel]
+    var inObj = false
+    var currLabel: String = null
+    var currStart = -1
+    var currI: String = null
+    val n = tags.length
+    var i = 0
+    while (i < n) {
+      val y = tags(i)
+      if (inObj) {
+        if (y != currI) {
+          obj += SpanLabel(currLabel, currStart, i - 1)
+          currLabel = null; currStart = -1; currI = null; inObj = false
+        } else if (i == n - 1) {
+          obj += SpanLabel(currLabel, currStart, i)
+        }
+      }
+      if (b2i.contains(y)) {
+        currLabel = y.substring(2)
+        currStart = i
+        currI = b2i(y)
+        inObj = true
+        if (i == n - 1) obj += SpanLabel(currLabel, currStart, i)
+      }
+      i += 1
+    }
+    obj.toSeq
+  }
+
+  /** Inverse helper for tests: spans -> BIO tags (B-/I- form). */
+  def bioEncode(n: Int, spans: Seq[SpanLabel]): Seq[String] = {
+    val tags = Array.fill(n)("O")
+    for (s <- spans; i <- s.start to s.end if i >= 0 && i < n)
+      tags(i) = (if (i == s.start) "B-" else "I-") + s.label
+    tags.toSeq
+  }
+
+  /** `' '.join(tokens[l..r])` — reference JsonBuilder.py:92-93. */
+  def spanText(tokens: Seq[String], start: Int, end: Int): String =
+    tokens.slice(start, end + 1).mkString(" ")
+
+  /** Token normalization used by the alignment join (J1): the reference
+    * strips '.' from tokens before matching (main.py:126). */
+  def cleanTok(t: String): String = t.replace(".", "")
+
+  /** Extract natural-language material from a source file: comment lines
+    * for code langs, prose lines for markup. The engine's analog of the
+    * reference's raw-text scan (S1, test_on_raw_text.py:76-95) adapted to
+    * the north-rule input table of source files. Returns (lineNum, text). */
+  def naturalText(lang: String, content: String): Seq[(Int, String)] = {
+    if (content == null) return Seq.empty
+    val lines = content.split("\n", -1)
+    val out = ArrayBuffer.empty[(Int, String)]
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      val trimmed = line.trim
+      val text: String = lang match {
+        case "python" | "ruby" | "shell" | "bash" =>
+          if (trimmed.startsWith("#")) trimmed.dropWhile(_ == '#').trim else null
+        case "markdown" | "md" | "text" | "txt" | "" | null =>
+          if (trimmed.nonEmpty && !line.startsWith("    ")) trimmed else null
+        case _ => // C-family comment markers (scala, java, js, go, c, ...)
+          if (trimmed.startsWith("//")) trimmed.dropWhile(_ == '/').trim
+          else if (trimmed.startsWith("*")) trimmed.dropWhile(_ == '*').trim
+          else if (trimmed.startsWith("/*"))
+            trimmed.stripPrefix("/*").stripSuffix("*/").trim
+          else if (trimmed.startsWith("#")) trimmed.dropWhile(_ == '#').trim
+          else null
+      }
+      if (text != null && text.nonEmpty) out += ((i, text))
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Hex sha256 — the per-row content invariant (BASELINE.json input_hint).
+    * Must agree with Spark's sha2(col, 256) (it does: lowercase hex). */
+  def sha256(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  /** Lemma-ish normalization for canonicalization blocking: lowercase,
+    * strip possessives and plural/verbal suffixes. Deterministic. */
+  def normLemma(t: String): String = {
+    var s = t.toLowerCase
+    s = s.stripSuffix("'s")
+    if (s.length > 4 && s.endsWith("ies")) s = s.dropRight(3) + "y"
+    else if (s.length > 4 && s.endsWith("ing")) s = s.dropRight(3)
+    else if (s.length > 3 && s.endsWith("ed")) s = s.dropRight(2)
+    else if (s.length > 3 && s.endsWith("es")) s = s.dropRight(2)
+    else if (s.length > 3 && s.endsWith("s") && !s.endsWith("ss")) s = s.dropRight(1)
+    s
+  }
+}
