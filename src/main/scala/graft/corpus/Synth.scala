@@ -143,10 +143,10 @@ object Synth {
     val place = if (usePlace) Some(Places(rng.nextInt(Places.length))) else None
 
     if (tempRelOnly) {
-      // "<subj> <temprelVerbPast> that" — an event head BETTER won't type
+      // "<subj> <temprelVerbPast>" — an event head BETTER won't type
       val lemma = TempRelVerbPool(rng.nextInt(TempRelVerbPool.length))
       val verb = Ontology.PastForms(lemma)
-      val tokens = subjToks ++ Vector(verb, "that")
+      val tokens = subjToks ++ Vector(verb)
       val trigIdx = offset + subjToks.length
       val ner = Seq(NerSpan(offset, offset + subjToks.length - 1,
         entTypeOf(subjToks)))
@@ -239,12 +239,16 @@ object Synth {
       case 2 =>
         addClause(composeClause(rng, tokens.length, negated = true, tempRelOnly = false))
       case 3 =>
+        // TempRel-only head + real connective + typed clause: the U1-injected
+        // typeless event becomes an observable relation endpoint
         val c1 = composeClause(rng, tokens.length, negated = false, tempRelOnly = true)
         addClause(c1)
+        val conn = RelConnectives(rng.nextInt(4)) // before/after/while/during
+        tokens = tokens :+ conn
         val c2 = composeClause(rng, tokens.length, negated = false, tempRelOnly = false)
         addClause(c2)
-        // no connective between report verb and event => NONE (filtered)
-        relations = relations :+ Relation(c1.trigIdx, c2.trigIdx, "NONE")
+        relations = relations :+ Relation(c1.trigIdx, c2.trigIdx,
+          Ontology.Connectives(conn))
     }
     tokens = tokens :+ "."
 

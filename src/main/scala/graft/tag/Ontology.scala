@@ -214,7 +214,14 @@ object Ontology {
     * NegationDetection/README.md:5-9: 0=affix, 1=normal cue,
     * 2=multiword-cue part, 3=not a cue. */
   val NegationCues: Set[String] = Set("not", "n't", "never", "no", "without", "cannot")
-  val NegationAffixPrefixes: Seq[String] = Seq("un", "dis", "im", "in")
+
+  /** Affixal negation cues (label 0). An explicit lexicon, NOT a prefix
+    * heuristic: prefix rules misfire on ordinary verbs ("indicted",
+    * "injured", "dissolved" all start with a negation-looking prefix and
+    * end in -ed). */
+  val AffixNegations: Set[String] = Set(
+    "unable", "unlikely", "unavailable", "unconfirmed", "unverified",
+    "impossible", "improbable", "disallowed", "disabled", "disproved")
   val MultiwordCues: Set[Seq[String]] = Set(Seq("by", "no", "means"), Seq("not", "at", "all"))
 
   /** The reference forces tokens in ['not'] to cue label 1 post-model

@@ -252,9 +252,7 @@ object Taggers {
     for (i <- 0 until n if out(i) == 3) {
       val lower = tokens(i).toLowerCase
       if (Ontology.NegationCues.contains(lower)) out(i) = 1
-      else if (lower.length >= 6 &&
-        Ontology.NegationAffixPrefixes.exists(lower.startsWith) &&
-        (lower.endsWith("able") || lower.endsWith("ed"))) out(i) = 0
+      else if (Ontology.AffixNegations.contains(lower)) out(i) = 0
     }
     // P8 manual override
     for (i <- 0 until n if Ontology.ManualCueOverride.contains(tokens(i).toLowerCase))

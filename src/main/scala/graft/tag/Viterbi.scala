@@ -31,10 +31,17 @@ object Viterbi {
     val n = emissions.length
     if (n == 0) return Seq.empty
     val L = emissions(0).length
-    // dp(t)(l) = up to k best (score, prevLabel, prevRank)
+    // dp(t)(l) = up to k best (score, prevLabel, prevRank).
+    // Start constraint: a sequence begins as if preceded by label 0 ("O"),
+    // so BIO orphan I- tags are barred at position 0 as well (the reference
+    // CRF learns START transitions; here they are structural).
     val dp = Array.ofDim[Array[(Double, Int, Int)]](n, L)
-    for (l <- 0 until L)
-      dp(0)(l) = Array((emissions(0)(l), -1, -1))
+    for (l <- 0 until L) {
+      val s =
+        if (transition(0)(l) == NegInf || emissions(0)(l) == NegInf) NegInf
+        else emissions(0)(l)
+      dp(0)(l) = Array((s, -1, -1))
+    }
     for (t <- 1 until n; l <- 0 until L) {
       val cands = new scala.collection.mutable.ArrayBuffer[(Double, Int, Int)]
       if (emissions(t)(l) != NegInf) {

@@ -16,8 +16,8 @@ object Text {
 
   /** Common abbreviations that do NOT end a sentence. */
   private val Abbrev: Set[String] = Set(
-    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc", "inc",
-    "ltd", "co", "corp", "gov", "gen", "col", "sgt", "lt", "capt", "u.s",
+    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc",
+    "gov", "gen", "sgt", "lt", "capt", "u.s",
     "u.k", "u.n", "e.g", "i.e", "jan", "feb", "mar", "apr", "jun", "jul",
     "aug", "sep", "sept", "oct", "nov", "dec")
 

@@ -1,0 +1,132 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.corpus.Synth
+import graft.text.Text
+import graft.text.Text.SpanLabel
+
+class TextSpec extends AnyFunSuite {
+
+  // ---- bioDecode: exact mirror of JsonBuilder.iob_to_obj:8-34 ----
+
+  val b2i = Map("B-PER" -> "I-PER", "B-GPE" -> "I-GPE")
+
+  test("bioDecode: simple span") {
+    assert(Text.bioDecode(Seq("O", "B-PER", "I-PER", "O"), b2i) ==
+      Seq(SpanLabel("PER", 1, 2)))
+  }
+
+  test("bioDecode: span at sequence end closes at last token (iob_to_obj:25-33)") {
+    assert(Text.bioDecode(Seq("O", "B-PER", "I-PER"), b2i) ==
+      Seq(SpanLabel("PER", 1, 2)))
+    assert(Text.bioDecode(Seq("O", "B-PER"), b2i) == Seq(SpanLabel("PER", 1, 1)))
+  }
+
+  test("bioDecode: orphan I- tags are dropped (reference drops them)") {
+    assert(Text.bioDecode(Seq("I-PER", "I-PER", "O"), b2i) == Seq.empty)
+    assert(Text.bioDecode(Seq("O", "I-GPE", "O"), b2i) == Seq.empty)
+  }
+
+  test("bioDecode: label change closes span at previous token") {
+    assert(Text.bioDecode(Seq("B-PER", "I-PER", "B-GPE", "I-GPE"), b2i) ==
+      Seq(SpanLabel("PER", 0, 1), SpanLabel("GPE", 2, 3)))
+    // I of a DIFFERENT label after B: closes, I is orphan -> dropped
+    assert(Text.bioDecode(Seq("B-PER", "I-GPE"), b2i) == Seq(SpanLabel("PER", 0, 0)))
+  }
+
+  test("bioDecode: B-only trigger convention — each B RESETS the span start " +
+    "(faithful iob_to_obj quirk: curr_obj is overwritten at every B)") {
+    val trigB2i = Map("B-X" -> "B-X")
+    // reference trace: i=1 continues (B==curr_I) but then reopens at i=1;
+    // the close at i=2 emits the REOPENED span (1,1), not (0,1)
+    assert(Text.bioDecode(Seq("B-X", "B-X", "O"), trigB2i) == Seq(SpanLabel("X", 1, 1)))
+    assert(Text.bioDecode(Seq("B-X", "O", "B-X"), trigB2i) ==
+      Seq(SpanLabel("X", 0, 0), SpanLabel("X", 2, 2)))
+    // quirk at sequence end: continue-branch emits (0,1) AND the reopen
+    // emits (1,1) — mirrored exactly from JsonBuilder.py:16-33
+    assert(Text.bioDecode(Seq("B-X", "B-X"), trigB2i) ==
+      Seq(SpanLabel("X", 0, 1), SpanLabel("X", 1, 1)))
+  }
+
+  test("bioDecode property: decode(encode(spans)) == spans over 500 random cases") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 0 until 500) {
+      val n = 1 + rng.nextInt(20)
+      var pos = 0
+      val spans = Vector.newBuilder[SpanLabel]
+      while (pos < n) {
+        if (rng.nextDouble() < 0.4) {
+          val len = 1 + rng.nextInt(math.min(3, n - pos))
+          spans += SpanLabel(if (rng.nextBoolean()) "PER" else "GPE", pos, pos + len - 1)
+          pos += len + 1 // gap so adjacent same-label spans can't merge
+        } else pos += 1
+      }
+      val expected = spans.result()
+      val tags = Text.bioEncode(n, expected)
+      assert(Text.bioDecode(tags, b2i) == expected, s"tags=$tags")
+    }
+  }
+
+  // ---- tokenizer ----
+
+  test("tokenizer: punctuation, numbers, acronyms, contractions") {
+    assert(Text.tokenize("Orders went out today to deploy 17,000 U.S. soldiers.") ==
+      Seq("Orders", "went", "out", "today", "to", "deploy", "17,000", "U.S.", "soldiers", "."))
+    assert(Text.tokenize("He didn't go (yet).") ==
+      Seq("He", "did", "n't", "go", "(", "yet", ")", "."))
+    assert(Text.tokenize("Pataki's plan, a 3.5 percent cut.") ==
+      Seq("Pataki", "'s", "plan", ",", "a", "3.5", "percent", "cut", "."))
+    assert(Text.tokenize("line\nbreak") == Seq("line", "break"))
+  }
+
+  test("tokenizer round-trips every generated gold sentence") {
+    for (i <- 0L until 80L) {
+      val repo = Synth.repoOf(i)
+      val path = Synth.pathOf(i)
+      for (g <- Synth.goldSentences(repo, path, 6)) {
+        val detok = Synth.detokenize(g.tokens)
+        assert(Text.tokenize(detok) == g.tokens,
+          s"round-trip failed for: $detok")
+      }
+    }
+  }
+
+  // ---- sentence splitter ----
+
+  test("sentSplit: basic splits and abbreviation guards") {
+    assert(Text.sentSplit("First sentence. Second one here.") ==
+      Seq("First sentence.", "Second one here."))
+    assert(Text.sentSplit("Dr. Smith arrived. He left.") ==
+      Seq("Dr. Smith arrived.", "He left."))
+    assert(Text.sentSplit("Pi is 3.14 roughly. Next.") ==
+      Seq("Pi is 3.14 roughly.", "Next."))
+    assert(Text.sentSplit("No terminator here") == Seq("No terminator here"))
+  }
+
+  test("sentSplit recovers multi-sentence comment lines from generated corpus") {
+    for (i <- 0L until 40L) {
+      val repo = Synth.repoOf(i)
+      val path = Synth.pathOf(i)
+      val golds = Synth.goldSentences(repo, path, 6)
+      val byLine = golds.groupBy(_.lineNum)
+      for ((_, sents) <- byLine) {
+        val joined = sents.sortBy(_.senNum).map(g => Synth.detokenize(g.tokens)).mkString(" ")
+        val split = Text.sentSplit(joined)
+        assert(split.length == sents.length, s"splitting: $joined -> $split")
+      }
+    }
+  }
+
+  // ---- misc ----
+
+  test("cleanTok strips periods (J1 normalization, main.py:126)") {
+    assert(Text.cleanTok("U.S.") == "US")
+    assert(Text.cleanTok("end.") == "end")
+  }
+
+  test("sha256 agrees with a known vector") {
+    assert(Text.sha256("abc") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+}
