@@ -255,6 +255,30 @@ object Pipeline {
       .drop("negationScope")
   }
 
+  /** Quarantine-aware extraction: per-record failures become rows in a
+    * quarantine table instead of being swallowed (the reference's
+    * try/except drop, test_on_raw_text.py:107-117 — SURVEY.md §2.9). */
+  case class SentOrErr(sent: Option[Sentence], err: Option[QuarantineRow])
+
+  def extract(spark: SparkSession, files: Dataset[SourceFile]): Dataset[SentOrErr] = {
+    import spark.implicits._
+    files.flatMap { f =>
+      try {
+        val sha = Text.sha256(f.content)
+        Text.naturalText(f.lang, f.content).flatMap { case (lineNum, text) =>
+          Text.sentSplit(text).zipWithIndex.map { case (sent, senNum) =>
+            SentOrErr(Some(Sentence(f.repo, f.path, sha, lineNum, senNum, sent,
+              Text.tokenize(sent))), None)
+          }
+        }
+      } catch {
+        case e: Exception =>
+          Seq(SentOrErr(None, Some(QuarantineRow(f.repo, f.path, -1, -1,
+            "extract", e.toString.take(500)))))
+      }
+    }
+  }
+
   // ---- full annotate: the composed DAG up to enriched events ----
 
   case class Annotated(
@@ -263,11 +287,17 @@ object Pipeline {
       relations: DataFrame) // sentKey, lAligned, rAligned, label
 
   def annotate(spark: SparkSession, files: Dataset[SourceFile]): Annotated = {
-    import spark.implicits._
     val sents = sentences(spark, files)
       .repartition(col("repo"), col("path")) // co-locate per-file sentences
       .persist()
     val tagged = tagStage(spark, sents).persist()
+    annotateFrom(spark, sents, tagged)
+  }
+
+  /** The relational core of the DAG, from committed sentence/tag stages
+    * (shared by the in-memory path and the checkpoint-resumable path). */
+  def annotateFrom(spark: SparkSession, sents: Dataset[Sentence],
+      tagged: Dataset[TaggedSentence]): Annotated = {
     val events = eventRows(spark, tagged)
     val sentToks = sents.select(
       concat(col("repo"), lit("/"), col("path"), lit("#L"), col("lineNum"),
@@ -281,5 +311,35 @@ object Pipeline {
     val durs = durations(spark, allEvents)
     val enriched = enrich(spark, allEvents, durs, tagged)
     Annotated(tagged, enriched, rels)
+  }
+
+  /** Checkpoint-resumable end-to-end run (north rule): every stage commits
+    * an Iceberg-style snapshot + manifest via Store; a rerun resumes from
+    * the last committed stage — compute closures of committed stages are
+    * never invoked. Returns the triple DataFrame (committed). */
+  def runCheckpointed(spark: SparkSession, files: Dataset[SourceFile],
+      root: String, inputSig: String): DataFrame = {
+    import spark.implicits._
+    val extracted = Store.runStage(spark, root, "sentences", inputSig) {
+      val e = extract(spark, files).persist()
+      // quarantine commits alongside (same pass over the input)
+      Store.runStage(spark, root, "quarantine", inputSig) {
+        e.flatMap(_.err).toDF()
+      }
+      val out = e.flatMap(_.sent)
+        .repartition(col("repo"), col("path"))
+        .toDF()
+      out
+    }
+    val sents = extracted.as[Sentence]
+    val tagged = Store.runStage(spark, root, "tagged", inputSig) {
+      tagStage(spark, sents).toDF()
+    }.as[TaggedSentence]
+    lazy val ann = annotateFrom(spark, sents, tagged)
+    val events = Store.runStage(spark, root, "events", inputSig)(ann.events)
+    val rels = Store.runStage(spark, root, "relations", inputSig)(ann.relations)
+    Store.runStage(spark, root, "triples", inputSig) {
+      Triples.emit(spark, Annotated(tagged, events, rels))
+    }
   }
 }
