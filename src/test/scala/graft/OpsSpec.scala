@@ -1,0 +1,196 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, RollingFingerprint, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard / embedding-cosine), ANN similarity search, text
+  * analysis, multimodal plumbing. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def docsWithDups = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near dup
+    (3L, "completely different content about spark shuffle partitions and skew"),
+    (4L, "another unrelated document mentioning catalyst optimizer rules only"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today") // near dup
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: sha256 hash-groupBy finds the duplicate group") {
+    val groups = Dedup.exactGroups(docsWithDups).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_dups") == 2)
+    assert(groups.head.getAs[Long]("keep_id") == 0)
+    val drops = Dedup.exactDrops(docsWithDups).as[(Long, Long)].collect().toSet
+    assert(drops == Set((1L, 0L)))
+  }
+
+  test("minhash LSH: near-dups found, verified jaccard >= threshold") {
+    val pairs = Dedup.minhashNearDups(docsWithDups, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always survives
+    assert(pairs.contains((0L, 2L)) || pairs.contains((0L, 5L)),
+      s"expected near-dup pair, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash determinism: same signatures under different partitioning") {
+    val a = Dedup.minhashBands(docsWithDups.repartition(1)).orderBy("doc_id").collect()
+    val b = Dedup.minhashBands(docsWithDups.repartition(7)).orderBy("doc_id").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("simhash: identical docs at distance 0; near-dups within 3; unrelated far") {
+    val sig = Dedup.simhash(docsWithDups).as[(Long, Long)].collect().toMap
+    assert(sig(0L) == sig(1L))
+    val pairs = Dedup.simhashNearDups(docsWithDups, maxDist = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)) && !pairs.contains((3L, 4L)))
+  }
+
+  test("ngram jaccard inverted-index join matches brute-force jaccard") {
+    val pairs = Dedup.ngramJaccardPairs(docsWithDups, n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+    val texts = docsWithDups.as[(Long, String)].collect().toMap
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    for ((a, b, j) <- pairs) {
+      val (sa, sb) = (sh(texts(a)), sh(texts(b)))
+      val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - expected) < 1e-3, s"pair ($a,$b)")
+      assert(j >= 0.5)
+    }
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L))
+  }
+
+  test("brute-force cosine top-k via zip_with/aggregate expressions") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").as[Seq[Float]].head()
+    val top = Similarity.bruteForceTopK(emb, query, 5)
+      .as[(Long, Double)].collect()
+    assert(top.length == 5)
+    assert(top.head._1 == 0L) // self-similarity = 1.0 tops the list
+    assert(math.abs(top.head._2 - 1.0) < 1e-3)
+    assert(top.map(_._2).toSeq == top.map(_._2).toSeq.sortBy(-(_: Double)))
+  }
+
+  test("ANN top-k: self always found; high overlap with brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 7)
+      .select("embedding").as[Seq[Float]].head()
+    val bf = Similarity.bruteForceTopK(emb, query, 10).as[(Long, Double)].collect()
+    val ann = Similarity.annTopK(emb, query, 10, nPlanes = 4).as[(Long, Double)].collect()
+    assert(ann.map(_._1).contains(7L))
+    // the sf0.001 embeddings are uniform-random 64-d, so "neighbors" are
+    // near-random (cos ≈ 0.3) — the hardest case for sign-LSH; require
+    // modest-but-real recall while probing only 5/16 buckets
+    val overlap = bf.map(_._1).toSet.intersect(ann.map(_._1).toSet).size
+    assert(overlap >= 3, s"ANN/BF overlap only $overlap/10")
+    // and the probe must actually restrict the candidate set (scale path)
+    val planes = Similarity.hyperplanes(query.length, 4)
+    val probed = Similarity.withBucket(emb, planes).filter(
+      col("bucket").isin((Seq(Similarity.bucketOf(query.toArray, planes)) ++
+        (0 until 4).map(i => Similarity.bucketOf(query.toArray, planes) ^ (1 << i))): _*))
+      .count()
+    assert(probed < emb.count() / 2, s"probed $probed rows — not sublinear")
+  }
+
+  test("embedding-cosine near-dup pairs: planted duplicate vector found") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+    val clone = base.filter(col("vec_id") === 3)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"), col("label"))
+    val pairs = Similarity.nearDupPairs(base.unionByName(clone), threshold = 0.999)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.exists(p => p._1 == 3L && p._2 == 10003L), s"got $pairs")
+  }
+
+  test("langId: heuristic recovers majority of driver-labelled languages") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = TextAnalysis.withLangId(docs)
+      .select(col("lang"), col("lang_pred"))
+    val total = scored.count()
+    val hit = scored.filter(col("lang") === col("lang_pred")).count()
+    // the synthetic docs are English-ish word salad labelled round-robin;
+    // just assert the operator runs, predicts a closed class, and is
+    // deterministic
+    val langs = scored.select("lang_pred").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh", "und")))
+    assert(total > 0 && hit >= 0)
+    // real multilingual fixtures:
+    val fix = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("der Hund ist ein Freund und das ist gut", "de"),
+      ("le chat est dans la maison et il est content", "fr"),
+      ("el perro es un amigo y la casa es grande", "es"),
+      ("这是一个中文句子用于测试语言识别", "zh")).toDF("text", "expected")
+    val pred = TextAnalysis.withLangId(fix).as[(String, String, String)].collect()
+    for ((_, expected, got) <- pred) assert(got == expected)
+  }
+
+  test("quality + token counts: ratios computed as specified") {
+    val df = Seq((1L, "The cat sat on the mat."), (2L, ""), (3L, "!!! ??? ...")).toDF("doc_id", "text")
+    val q = TextAnalysis.withTokenCounts(TextAnalysis.withQuality(df))
+      .orderBy("doc_id").collect()
+    val r1 = q(0)
+    assert(r1.getAs[Int]("n_words") == 6)
+    assert(r1.getAs[Int]("ws_tokens") == 6)
+    assert(r1.getAs[Int]("bpe_ish_tokens") == 7) // 6 words + terminal '.'
+    assert(r1.getAs[Double]("stopword_ratio") > 0.3) // the/on/the
+    assert(q(2).getAs[Double]("punct_ratio") > 0.5)
+    assert(q(2).getAs[Double]("quality_score") < 0.2)
+  }
+
+  test("rolling fingerprint: equal normalized content, robust to padding") {
+    val df = Seq(
+      (1L, "The Quick   Brown Fox"),
+      (2L, "the quick brown fox"), // same after normalization
+      (3L, "the quick brown fox with a long appended tail of extra words"),
+      (4L, "entirely different text here")).toDF("doc_id", "text")
+    val fp = TextAnalysis.withFingerprint(df, window = 8)
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    // min-sampling: doc3 contains doc1's windows, so min can only go lower
+    assert(fp(3L) <= fp(1L))
+    assert(fp(4L) != fp(1L))
+    // direct expression eval matches the Scala function
+    assert(fp(2L) == RollingFingerprint.fingerprint("the quick brown fox", 8))
+  }
+
+  test("multimodal: batched feature extraction preserves schema and determinism") {
+    val media = Multimodal.syntheticMedia(spark, 100L)
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema.fieldNames.toSeq == Seq("media_id", "kind", "features"))
+    val rows = feats.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.features.length == 16))
+    // L1-normalized histograms
+    assert(rows.forall(r => math.abs(r.features.sum - 1.0f) < 1e-3))
+    // determinism across partitionings
+    val again = Multimodal.extractFeatures(media.repartition(13)).collect()
+      .sortBy(_.media_id).map(_.features)
+    assert(rows.sortBy(_.media_id).map(_.features).toSeq == again.toSeq)
+  }
+
+  test("multimodal: resize caps image dimensions; frame sampling strides video") {
+    val media = Multimodal.syntheticMedia(spark, 60L)
+    val resized = Multimodal.resizeImages(media, maxSide = 100).collect()
+    for (m <- resized if m.kind == "image")
+      assert(math.max(m.meta.width, m.meta.height) <= 256) // originals ≤ 256
+    val small = Multimodal.resizeImages(media, maxSide = 64).collect()
+    for (m <- small if m.kind == "image")
+      assert(math.max(m.meta.width, m.meta.height) <= 64)
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    val vids = media.filter(_.kind == "video").count()
+    assert(frames.map(_.media_id).distinct.length == vids)
+  }
+}
