@@ -23,10 +23,12 @@ object Similarity {
   /** Cosine similarity between an embedding column and a literal query
     * vector, as a pure Catalyst expression tree. */
   def cosineToQuery(vec: Column, query: Seq[Float]): Column = {
-    val q = typedlit(query)
-    val dot = aggregate(zip_with(vec, q, (a, b) => a * b),
+    // accumulate in double (float*float would lose precision vs any
+    // double-based oracle)
+    val q = typedlit(query.map(_.toDouble))
+    val dot = aggregate(zip_with(vec, q, (a, b) => a.cast("double") * b),
       lit(0.0d), (acc, x) => acc + x)
-    val nv = sqrt(aggregate(transform(vec, a => a * a),
+    val nv = sqrt(aggregate(transform(vec, a => a.cast("double") * a),
       lit(0.0d), (acc, x) => acc + x))
     val nq = math.sqrt(query.map(x => x.toDouble * x).sum)
     dot / (nv * lit(nq))
