@@ -1,5 +1,11 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark: every SparkEntry query at SPARK_GRAFT_SF_DIR, one JSON
+  * line. KG queries share one cached pipeline run (the first pays for it —
+  * its time IS the pipeline time); `triples_per_sec` reports end-to-end KG
+  * throughput. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +13,30 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+
+    // KG throughput measured explicitly (count forces the full pipeline)
+    val t0 = System.nanoTime()
+    val nTriples =
+      try SparkEntry.queries("kg_triples_by_pred")(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+      catch { case _: Throwable => -1L }
+    val kgSec = (System.nanoTime() - t0) / 1e9
+    val triplesPerSec = if (kgSec > 0 && nTriples > 0) nTriples / kgSec else 0.0
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val s0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (System.nanoTime() - s0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = kgSec + results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"triples_per_sec":$triplesPerSec}""")
     spark.stop()
   }
 }

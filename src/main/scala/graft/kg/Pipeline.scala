@@ -223,8 +223,9 @@ object Pipeline {
         lower(col("alignedTok")).as("trigLemma"),
         col("alignedIdx").as("trigStart"), col("alignedIdx").as("trigEnd"),
         typedLit(Seq.empty[Argument]).as("args"))
-      .as[EventRow]
-    events.unionByName(injected).dropDuplicates("eventId")
+      .dropDuplicates("eventId") // two heads can align to one token; dedupe
+      .as[EventRow] //              the SMALL injected side, not the union
+    events.unionByName(injected)
   }
 
   // ---- stage 6: duration (J2) + speculation (P9) ----

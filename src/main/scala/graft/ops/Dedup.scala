@@ -63,25 +63,29 @@ object Dedup {
 
   private val Prime = 2038074743L
 
-  /** Seeded affine hash family over a base hash column. */
-  private def minhashSig(sh: Column, numHashes: Int): Seq[Column] = {
-    (0 until numHashes).map { i =>
-      val a = 2 * i + 1
-      val b = 1000003L * (i + 1)
-      array_min(transform(sh,
-        g => pmod(abs(hash(g).cast("long")) * a + b, lit(Prime))))
-        .as(s"mh_$i")
-    }
-  }
-
   /** MinHash signatures: one row per doc with `bands` band-hash columns
-    * (each band = hash of `rowsPerBand` consecutive minhashes). */
+    * (each band = hash of `rowsPerBand` consecutive minhashes).
+    *
+    * Staged so the expensive string work happens ONCE per row: shingling
+    * is materialized as a column, reduced to one int hash per shingle, and
+    * only then fanned out into the 16 affine min-hashes (16 scans of a
+    * small long array, not 16 re-shinglings — Catalyst does not CSE across
+    * projection expressions). */
   def minhashBands(docs: DataFrame, n: Int = 3, bands: Int = 4,
       rowsPerBand: Int = 4, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = docs.select(
-      (col(idCol) +: minhashSig(shingles(col(textCol), n), numHashes)): _*)
+    val hashed = docs
+      .select(col(idCol), shingles(col(textCol), n).as("sh"))
+      .select(col(idCol),
+        transform(col("sh"), g => abs(hash(g).cast("long"))).as("hs"))
+    val mhCols = (0 until numHashes).map { i =>
+      val a = 2 * i + 1
+      val b = 1000003L * (i + 1)
+      array_min(transform(col("hs"), h => pmod(h * a + b, lit(Prime))))
+        .as(s"mh_$i")
+    }
+    val withSig = hashed.select((col(idCol) +: mhCols): _*)
     val bandCols = (0 until bands).map { b =>
       val rows = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       hash(rows: _*).as(s"band_$b")
@@ -182,7 +186,7 @@ object Dedup {
     * the explicit skew guard; dropped shingles are counted so the caller
     * can see what the cap removed (no silent truncation). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-      maxShingleDf: Int = 1000, idCol: String = "doc_id",
+      maxShingleDf: Int = 100, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
       .withColumn("nsh", size(col("sh")))
