@@ -1,0 +1,121 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.kg.Pipeline
+import graft.model._
+import graft.tag.Taggers
+import graft.text.Text
+
+/** Structured Streaming face of the engine. The reference is synchronous
+  * request/response (SURVEY.md §2.9) — its streaming-shaped mechanisms
+  * (checkpoint-every-20-docs, long-lived REST worker) map to:
+  *   - `readStream` → narrow per-sentence extraction → `writeStream` with
+  *     checkpointLocation (exactly-once file sink);
+  *   - watermarked windowed aggregation over triple counts;
+  *   - per-repo progress via `flatMapGroupsWithState` (custom state).
+  *
+  * The streaming path runs the NARROW subset of the DAG (sentence split,
+  * tagging, per-event argument decode, duration, speculation — all
+  * per-sentence, shuffle-free, so they run identically under micro-batch).
+  * Cross-sentence ops (TempRel endpoint alignment across components,
+  * canonicalization, sameAs linking) are batch compaction over the sink —
+  * the standard lambda split, and the reason the batch pipeline commits
+  * Iceberg-style snapshots the compactor can resume from.
+  */
+object StreamingKg {
+
+  /** A source-file row stamped with its ingest/event time. */
+  case class StampedFile(ts: Timestamp, repo: String, path: String,
+      commit: String, lang: String, content: String)
+
+  case class StampedTriple(ts: Timestamp, subj: String, pred: String,
+      obj: String, repo: String, path: String, contentSha: String)
+
+  /** Narrow per-sentence triple extraction — legal on a streaming Dataset
+    * (flatMap only, no shuffle). Works identically on batch inputs, which
+    * is how the equivalence test pins the semantics. */
+  def narrowTriples(spark: SparkSession, files: Dataset[StampedFile]): Dataset[StampedTriple] = {
+    import spark.implicits._
+    files.flatMap { f =>
+      val sha = Text.sha256(f.content)
+      Text.naturalText(f.lang, f.content).flatMap { case (lineNum, text) =>
+        Text.sentSplit(text).zipWithIndex.flatMap { case (sent, senNum) =>
+          val tokens = Text.tokenize(sent)
+          val sentKey = Pipeline.sentKeyOf(f.repo, f.path, lineNum, senNum)
+          val ner = Taggers.nerSpans(tokens)
+          val triggers = Taggers.triggerSpans(tokens, ner)
+          val cues = Taggers.negationCues(tokens)
+          val scope = Taggers.negationScope(tokens, cues)
+          def t3(s: String, p: String, o: String) =
+            StampedTriple(f.ts, s, p, o, f.repo, f.path, sha)
+          val eventTriples = triggers.flatMap { tr =>
+            val eid = Pipeline.eventIdOf(sentKey, tr.start)
+            val args = Taggers.argumentSpans(tokens, ner, tr)
+            val dur = Taggers.durationOf(tr.text)
+            Seq(t3(eid, "hasType", tr.eventType)) ++
+              args.map(a => t3(eid, a.role, a.text)) ++
+              (if (dur.nonEmpty) Seq(t3(eid, "hasDuration", dur)) else Nil) ++
+              (if (scope.lift(tr.start).contains(1)) Seq(t3(eid, "speculated", "true")) else Nil)
+          }
+          val entTriples = ner.map(nsp => t3(s"${f.repo}/${f.path}", "hasEntity",
+            s"${nsp.label}:${Text.spanText(tokens, nsp.start, nsp.end)}"))
+          eventTriples ++ entTriples
+        }
+      }
+    }
+  }
+
+  /** Watermarked tumbling-window counts of triples per predicate: the
+    * streaming analog of `kg_triples_by_pred`. Late rows beyond the
+    * watermark are dropped (state is bounded — required at unbounded
+    * input). */
+  def windowedTripleCounts(triples: Dataset[StampedTriple],
+      watermark: String = "10 minutes", window_ : String = "5 minutes"): DataFrame =
+    triples.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("pred"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-repo cumulative progress via flatMapGroupsWithState — the custom
+    * stateful operator (KeyValueGroupedDataset), replacing the reference's
+    * in-process running counters. Emits one updated row per repo per
+    * micro-batch. */
+  case class RepoProgress(repo: String, files: Long, triples: Long)
+
+  def repoProgress(spark: SparkSession, triples: Dataset[StampedTriple]): Dataset[RepoProgress] = {
+    import spark.implicits._
+    triples
+      .groupByKey(_.repo)
+      .flatMapGroupsWithState[RepoProgress, RepoProgress](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (repo, rows, state: GroupState[RepoProgress]) =>
+          val prev = state.getOption.getOrElse(RepoProgress(repo, 0L, 0L))
+          var triplesSeen = 0L
+          val paths = scala.collection.mutable.Set.empty[String]
+          rows.foreach { r => triplesSeen += 1; paths += r.path }
+          val next = RepoProgress(repo, prev.files + paths.size,
+            prev.triples + triplesSeen)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** End-to-end streaming writer: parquet sink + checkpointLocation (the
+    * streaming replacement for the reference's checkpoint-every-20-docs,
+    * test_on_raw_text.py:119-120 — exactly-once via the sink log). */
+  def startFileSink(spark: SparkSession, files: Dataset[StampedFile],
+      outDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    narrowTriples(spark, files).toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.corpus.Synth
+import graft.streaming.StreamingKg
+import graft.streaming.StreamingKg.{StampedFile, StampedTriple}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def stamped(i: Long, minute: Int): StampedFile = {
+    val f = Synth.sourceFile(i, 4)
+    StampedFile(Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"),
+      f.repo, f.path, f.commit, f.lang, f.content)
+  }
+
+  test("streaming narrow triples == batch narrow triples on the same rows") {
+    val rows = (0L until 10L).map(i => stamped(i, (i % 5).toInt))
+    val batch = StreamingKg.narrowTriples(spark, rows.toDS()).collect().toSet
+
+    val mem = MemoryStream[StampedFile](spark)
+    mem.addData(rows.take(4): _*)
+    mem.addData(rows.drop(4): _*)
+    val q = StreamingKg.narrowTriples(spark, mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("narrow_out")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("narrow_out").as[StampedTriple].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("watermarked windowed counts aggregate per 5-minute window") {
+    val mem = MemoryStream[StampedFile](spark)
+    mem.addData(stamped(0, 1), stamped(1, 2), stamped(2, 7), stamped(3, 8))
+    val agg = StreamingKg.windowedTripleCounts(
+      StreamingKg.narrowTriples(spark, mem.toDS()))
+    val q = agg.writeStream.format("memory").queryName("windowed_out")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      """SELECT date_format(window.start, 'HH:mm') AS ws, pred, n
+        |FROM windowed_out""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    val windows = rows.map(_.getString(0)).distinct.sorted
+    assert(windows.toSeq == Seq("10:00", "10:05"))
+    // hasType counts in each window must equal the batch counts
+    val batch = StreamingKg.narrowTriples(spark,
+      Seq(stamped(0, 1), stamped(1, 2)).toDS())
+      .filter(_.pred == "hasType").count()
+    val w0 = rows.filter(r => r.getString(0) == "10:00" && r.getString(1) == "hasType")
+      .map(_.getLong(2)).sum
+    assert(w0 == batch)
+  }
+
+  test("flatMapGroupsWithState accumulates per-repo progress across batches") {
+    val mem = MemoryStream[StampedFile](spark)
+    val prog = StreamingKg.repoProgress(spark,
+      StreamingKg.narrowTriples(spark, mem.toDS()))
+    val q = prog.toDF().writeStream.format("memory").queryName("progress_out")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: one file of repo0; batch 2: the same repo again
+    val f0 = stamped(0, 0) // repo0
+    val f50 = stamped(50, 1) // repo0 again (50 % 50 == 0)
+    mem.addData(f0)
+    q.processAllAvailable()
+    mem.addData(f50)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("progress_out")
+      .as[StreamingKg.RepoProgress].collect().filter(_.repo == "repo0")
+    assert(rows.length == 2, s"one update per micro-batch: $rows")
+    val last = rows.maxBy(_.files)
+    assert(last.files == 2)
+    val perFileTriples = StreamingKg.narrowTriples(spark, Seq(f0).toDS()).count() +
+      StreamingKg.narrowTriples(spark, Seq(f50).toDS()).count()
+    assert(last.triples == perFileTriples)
+  }
+
+  test("file sink with checkpoint: AvailableNow drains and commits exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val mem = MemoryStream[StampedFile](spark)
+    mem.addData((20L until 26L).map(i => stamped(i, 3)): _*)
+    val q = StreamingKg.startFileSink(spark, mem.toDS(),
+      s"$dir/out", s"$dir/ckpt")
+    q.awaitTermination(60000)
+    val written = spark.read.parquet(s"$dir/out")
+    val expected = StreamingKg.narrowTriples(spark,
+      (20L until 26L).map(i => stamped(i, 3)).toDS()).count()
+    assert(written.count() == expected)
+    // restart with no new data: sink log prevents duplication
+    val q2 = StreamingKg.startFileSink(spark, mem.toDS(), s"$dir/out", s"$dir/ckpt")
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(s"$dir/out").count() == expected)
+  }
+}
