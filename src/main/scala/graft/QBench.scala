@@ -1,0 +1,34 @@
+package graft
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerStageSubmitted}
+import org.apache.spark.sql.SparkSession
+import graft.corpus.Synth
+import graft.kg.Triples
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val cores = args.lift(0).map(_.toInt).getOrElse(32)
+    val nFiles = args.lift(1).map(_.toLong).getOrElse(24000L)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stageTime = TrieMap.empty[Int, Long]
+    val stageName = TrieMap.empty[Int, String]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        stageName(s.stageInfo.stageId) = s.stageInfo.name.take(60) + "|" + s.stageInfo.details.split("\n").drop(1).headOption.getOrElse("").take(80)
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          stageTime.updateWith(t.stageId) { v => Some(v.getOrElse(0L) + t.taskMetrics.executorRunTime) }
+    })
+    val t0 = System.nanoTime()
+    val n = Triples.fromFiles(spark, Synth.corpus(spark, nFiles, 8)).count()
+    val wall = (System.nanoTime()-t0)/1e9
+    println(f"PROBE wall=$wall%.1f totalTaskSec=${stageTime.values.sum/1000.0}%.1f triples=$n")
+    stageTime.toSeq.sortBy(-_._2).take(15).foreach { case (id, ms) =>
+      println(f"STAGE $id ${ms/1000.0}%8.1f s  ${stageName.getOrElse(id, "?")}")
+    }
+    spark.stop()
+  }
+}

@@ -219,6 +219,16 @@ object SparkEntry {
           round(avg(element_at(col("features"), 1)), 4).as("mean_bin0"))
         .orderBy("kind")
     }),
+    "q24_json_props" -> ((s, dir) =>
+      // S3-analog: schema'd JSON parse of an embedded JSON column
+      t(s, dir, "events")
+        .withColumn("props_p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+        .groupBy(col("event_type"))
+        .agg(sum(col("props_p.k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")),
     "q23_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.95)
         .orderBy("a", "b"))
@@ -301,6 +311,11 @@ object SparkEntry {
         |FROM embeddings, q
         |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
         |LIMIT 10""".stripMargin,
+    "q24_json_props" ->
+      """SELECT event_type,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_token_stats" ->
       """SELECT doc_id,
         |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0

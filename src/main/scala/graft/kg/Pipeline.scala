@@ -84,7 +84,11 @@ object Pipeline {
     * 1813). Narrow — no shuffle. */
   def tagStage(spark: SparkSession, sents: Dataset[Sentence]): Dataset[TaggedSentence] = {
     import spark.implicits._
-    sents.mapPartitions { it =>
+    // K3: length-sorted batching (joint_model.py:62 pad_collate) — groups
+    // similar-length sentences so a batched scorer pads minimally; narrow
+    // (within-partition) sort, no shuffle
+    sents.sortWithinPartitions(size(col("tokens")).desc)
+      .mapPartitions { it =>
       it.map { s =>
         val ner = Taggers.nerSpans(s.tokens)
         val triggers = Taggers.triggerSpans(s.tokens, ner)
@@ -94,7 +98,7 @@ object Pipeline {
           sentKeyOf(s.repo, s.path, s.lineNum, s.senNum),
           s.tokens, ner, triggers, cues, scope)
       }
-    }
+      }
   }
 
   // ---- stage 3: X1 event expansion + per-event argument tagging ----
@@ -292,6 +296,10 @@ object Pipeline {
       .repartition(col("repo"), col("path")) // co-locate per-file sentences
       .persist()
     val tagged = tagStage(spark, sents).persist()
+    // materialize the shared caches BEFORE the fan-out: several downstream
+    // joins broadcast subtrees of `tagged`/`sents` on separate threads, and
+    // a cold cache makes each of them re-run the tagging DAG
+    tagged.count()
     annotateFrom(spark, sents, tagged)
   }
 
@@ -304,11 +312,16 @@ object Pipeline {
       concat(col("repo"), lit("/"), col("path"), lit("#L"), col("lineNum"),
         lit(":S"), col("senNum")).as("sentKey"),
       col("tokens"))
-    val heads = eventHeads(headEvidence(spark, sents))
+    // heads feeds BOTH the alignment and the pair generator; allEvents
+    // feeds BOTH the duration stage and the final merge — persist each so
+    // the branches share one computation instead of re-running the
+    // upstream DAG per consumer
+    val heads = eventHeads(headEvidence(spark, sents)).persist()
     val aligned = alignHeads(heads, sentToks).persist()
     val scored = scoreRelations(relationCandidates(heads), sentToks)
     val rels = mapRelationEndpoints(filterRelations(scored), aligned)
-    val allEvents = injectTempRelOnlyEvents(spark, aligned, events, tagged)
+    val allEvents = injectTempRelOnlyEvents(spark, aligned, events, tagged).persist()
+    allEvents.count() // fill the cache before the two consumers race
     val durs = durations(spark, allEvents)
     val enriched = enrich(spark, allEvents, durs, tagged)
     Annotated(tagged, enriched, rels)

@@ -24,6 +24,11 @@ object Triples {
     * aligned relation frame. */
   def emit(spark: SparkSession, ann: Pipeline.Annotated): DataFrame = {
     val events = ann.events.persist()
+    // materialize the cache NOW: the canonicalization loop and the two
+    // broadcast builds below otherwise race to each recompute the whole
+    // upstream DAG before any of them fills the cache (broadcast exchanges
+    // execute on separate threads)
+    events.count()
 
     val lineage = Seq(col("repo"), col("path"), col("contentSha"))
 

@@ -14,14 +14,65 @@ object Viterbi {
 
   val NegInf: Double = Double.NegativeInfinity
 
-  /** Decode the single best path.
+  /** Decode the single best path — the k=1 fast path the demo config uses
+    * (CRF_util.py:60-65), allocation-free except three primitive arrays
+    * (this runs once per sentence per tagger on every row; the k-best
+    * variant below allocates per-(token,label) candidate lists and is kept
+    * for the general case).
     *
     * @param emissions  emissions(t)(l) = log-score of label l at position t
     * @param transition transition(l1)(l2) = log-score of l1 -> l2
     * @return best label-index path (length = emissions.length)
     */
-  def decode(emissions: Array[Array[Double]], transition: Array[Array[Double]]): Array[Int] =
-    decodeK(emissions, transition, 1).headOption.map(_._1).getOrElse(Array.empty)
+  def decode(emissions: Array[Array[Double]], transition: Array[Array[Double]]): Array[Int] = {
+    val n = emissions.length
+    if (n == 0) return Array.empty
+    val L = emissions(0).length
+    var prev = new Array[Double](L)
+    var curr = new Array[Double](L)
+    val back = Array.ofDim[Int](n, L)
+    var l = 0
+    while (l < L) {
+      prev(l) =
+        if (transition(0)(l) == NegInf || emissions(0)(l) == NegInf) NegInf
+        else emissions(0)(l)
+      l += 1
+    }
+    var t = 1
+    while (t < n) {
+      val em = emissions(t)
+      var j = 0
+      while (j < L) {
+        var best = NegInf
+        var bestP = -1
+        if (em(j) != NegInf) {
+          var p = 0
+          while (p < L) {
+            val tp = transition(p)(j)
+            if (tp != NegInf && prev(p) != NegInf) {
+              val s = prev(p) + tp
+              if (s > best) { best = s; bestP = p }
+            }
+            p += 1
+          }
+        }
+        curr(j) = if (bestP >= 0) best + em(j) else NegInf
+        back(t)(j) = if (bestP >= 0) bestP else 0
+        j += 1
+      }
+      val tmp = prev; prev = curr; curr = tmp
+      t += 1
+    }
+    var bestL = 0
+    var bestS = prev(0)
+    l = 1
+    while (l < L) { if (prev(l) > bestS) { bestS = prev(l); bestL = l }; l += 1 }
+    val path = new Array[Int](n)
+    path(n - 1) = bestL
+    t = n - 1
+    while (t > 0) { path(t - 1) = back(t)(path(t)); t -= 1 }
+    path
+  }
 
   /** k-best decode, mirroring the modified Viterbi with per-path extraction
     * of CRF_util.py:67-173 (list-Viterbi: keep k best (score, backpointer)

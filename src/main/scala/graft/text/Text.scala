@@ -50,8 +50,9 @@ object Text {
           while (w >= 0 && !Character.isWhitespace(text.charAt(w))) w -= 1
           val word = text.substring(w + 1, i).toLowerCase
             .stripPrefix("(").stripPrefix("\"")
-          Abbrev.contains(word) || word.matches("[a-z]") ||
-            word.matches(".*\\d") // decimal like "3.5" handled below too
+          Abbrev.contains(word) ||
+            (word.length == 1 && word.charAt(0) >= 'a' && word.charAt(0) <= 'z') ||
+            (word.nonEmpty && Character.isDigit(word.charAt(word.length - 1)))
         }
         val isDecimal = c == '.' && i + 1 < n && Character.isDigit(text.charAt(i + 1))
         if (boundaryCandidate && nextOk && !isAbbrev && !isDecimal) {
@@ -79,11 +80,14 @@ object Text {
     *   - split contractions: "don't" -> "do" "n't", "'s" off;
     *   - keep hyphenated words together.
     */
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+  private val AcronymRe = java.util.regex.Pattern.compile("([A-Za-z]\\.)+")
+
   def tokenize(raw: String): Seq[String] = {
     if (raw == null) return Seq.empty
     val text = raw.replace('\n', ' ')
     val out = ArrayBuffer.empty[String]
-    for (chunk0 <- text.split("\\s+") if chunk0.nonEmpty) {
+    for (chunk0 <- Whitespace.split(text) if chunk0.nonEmpty) {
       var chunk = chunk0
       val lead = ArrayBuffer.empty[String]
       val trail = ArrayBuffer.empty[String]
@@ -103,7 +107,7 @@ object Text {
         val c = chunk.charAt(chunk.length - 1)
         val isPunct = ".,;:!?\"')]}“”‘’»".indexOf(c.toInt) >= 0
         if (isPunct) {
-          val isAcronym = c == '.' && chunk.matches("([A-Za-z]\\.)+")
+          val isAcronym = c == '.' && AcronymRe.matcher(chunk).matches()
           val isDecimalTail = (c == ',' || c == '.') && false
           if (isAcronym || isDecimalTail) done = true
           else { trail.prepend(c.toString); chunk = chunk.dropRight(1) }
