@@ -1,0 +1,26 @@
+package graft
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.01"
+    val names = Seq("q1_agg", "q2_join_broadcast", "q3_window_latest",
+      "q6_nearest_join", "q7_pairs_per_day", "q10_range_join",
+      "q14_knn_bruteforce", "q16_token_stats", "q22_semi_by_brand")
+    val sb = new StringBuilder
+    for (n <- names) {
+      val df = SparkEntry.queries(n)(spark, dir)
+      sb.append(s"\n===== $n =====\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    Files.writeString(Paths.get("/tmp/plans.txt"), sb.toString)
+    println("WROTE /tmp/plans.txt")
+    spark.stop()
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Synth
+import graft.kg.{Pipeline, Triples}
+import graft.ops.SkewJoin
+
+/** Skew handling under the adversarial hot-lemma distribution the corpus
+  * plants by construction (Synth.SkewFraction = 25% of trigger draws forced
+  * to "attack"; SURVEY.md §7.4 item 3). */
+class SkewSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted join == plain join on a skewed key distribution") {
+    // 10k rows, 80% on one hot key
+    val skewed = spark.range(10000)
+      .select(when(col("id") % 5 < 4, lit("hot")).otherwise(concat(lit("k"), col("id") % 7)).as("k"),
+        col("id").as("payload"))
+    val dim = Seq(("hot", 1), ("k0", 2), ("k1", 3), ("k2", 4), ("k3", 5),
+      ("k4", 6), ("k5", 7), ("k6", 8)).toDF("k", "v")
+    val plain = skewed.join(dim, Seq("k"))
+      .select("k", "payload", "v").as[(String, Long, Int)].collect().toSet
+    val salted = SkewJoin.saltedJoin(skewed, dim, "k", salts = 8,
+      saltSource = Seq("payload"))
+      .select("k", "payload", "v").as[(String, Long, Int)].collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_._1 == "hot") == 8000)
+  }
+
+  test("corpus hot lemma is actually hot, and the pipeline still balances") {
+    val files = Synth.corpus(spark, 40L, 6)
+    val ann = Pipeline.annotate(spark, files)
+    val byLemma = ann.events.filter(col("eventType") =!= "")
+      .groupBy("trigLemma").count().orderBy(col("count").desc)
+      .as[(String, Long)].collect()
+    val total = byLemma.map(_._2).sum.toDouble
+    assert(byLemma.head._1 == Synth.HotLemma)
+    assert(byLemma.head._2 / total > 0.15, "hot lemma should dominate")
+    // sameAs linking under skew: every non-canonical hot event links to
+    // exactly one canonical id per (repo, lemma, type) block
+    val triples = Triples.emit(spark, ann)
+    val sameAs = triples.filter(col("pred") === "sameAs")
+    val fanIn = sameAs.groupBy("obj").count()
+    assert(fanIn.count() > 0)
+    // a canonical id never appears as a subject of sameAs (it IS the root)
+    val roots = sameAs.select(col("obj").as("id")).distinct()
+    val subjects = sameAs.select(col("subj").as("id")).distinct()
+    assert(roots.join(subjects, Seq("id"), "left_semi").count() == 0)
+  }
+}
