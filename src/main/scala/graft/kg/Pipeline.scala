@@ -292,8 +292,11 @@ object Pipeline {
       relations: DataFrame) // sentKey, lAligned, rAligned, label
 
   def annotate(spark: SparkSession, files: Dataset[SourceFile]): Annotated = {
+    // range partitioning by (repo, path) — the north-rule ingest layout:
+    // matches the input table's sort order, so per-file sentences stay
+    // co-located AND key-adjacent (prefix compression, ordered snapshots)
     val sents = sentences(spark, files)
-      .repartition(col("repo"), col("path")) // co-locate per-file sentences
+      .repartitionByRange(col("repo"), col("path"))
       .persist()
     val tagged = tagStage(spark, sents).persist()
     // materialize the shared caches BEFORE the fan-out: several downstream
@@ -341,7 +344,7 @@ object Pipeline {
         e.flatMap(_.err).toDF()
       }
       val out = e.flatMap(_.sent)
-        .repartition(col("repo"), col("path"))
+        .repartitionByRange(col("repo"), col("path"))
         .toDF()
       out
     }

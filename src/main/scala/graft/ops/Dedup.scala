@@ -196,6 +196,10 @@ object Dedup {
     val l = filtered.select(col("g"), col(idCol).as("a"), col("nsh").as("na"))
     val r = filtered.select(col("g"), col(idCol).as("b"), col("nsh").as("nb"))
     l.join(r, Seq("g")).filter(col("a") < col("b"))
+      // length pre-filter: J(A,B) >= t implies t*|B| <= |A| (for |A|<=|B|),
+      // so mismatched sizes drop BEFORE the per-shingle rows aggregate
+      .filter(col("na") >= col("nb") * threshold &&
+        col("nb") >= col("na") * threshold)
       .groupBy("a", "b", "na", "nb").agg(count(lit(1)).as("common"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("na") + col("nb") - col("common")))
