@@ -294,8 +294,11 @@ object Pipeline {
   def annotate(spark: SparkSession, files: Dataset[SourceFile]): Annotated = {
     // range partitioning by (repo, path) — the north-rule ingest layout:
     // matches the input table's sort order, so per-file sentences stay
-    // co-located AND key-adjacent (prefix compression, ordered snapshots)
-    val sents = sentences(spark, files)
+    // co-located AND key-adjacent (prefix compression, ordered snapshots).
+    // The range sampler would otherwise re-run the extraction flatMap for
+    // its sampling pass — cache the narrow result first.
+    val raw = sentences(spark, files).persist()
+    val sents = raw
       .repartitionByRange(col("repo"), col("path"))
       .persist()
     val tagged = tagStage(spark, sents).persist()
@@ -303,6 +306,7 @@ object Pipeline {
     // joins broadcast subtrees of `tagged`/`sents` on separate threads, and
     // a cold cache makes each of them re-run the tagging DAG
     tagged.count()
+    raw.unpersist()
     annotateFrom(spark, sents, tagged)
   }
 
