@@ -122,7 +122,8 @@ object Synth {
       eventType: String, // "" => TempRel-only head
       args: Seq[Argument],
       ner: Seq[NerSpan],
-      cueIdx: Int) // -1 if not negated
+      cueIdx: Int, // -1 if not negated
+      cueLabel: Int) // 1 = normal cue, 0 = affixal (README.md:5-9)
 
   private def pickTrigger(rng: Random): String =
     if (rng.nextDouble() < SkewFraction) HotLemma
@@ -150,14 +151,18 @@ object Synth {
       val trigIdx = offset + subjToks.length
       val ner = Seq(NerSpan(offset, offset + subjToks.length - 1,
         entTypeOf(subjToks)))
-      Clause(tokens, trigIdx, lemma, "", Seq.empty, ner, -1)
+      Clause(tokens, trigIdx, lemma, "", Seq.empty, ner, -1, 3)
     } else {
       val lemma = pickTrigger(rng)
       val (eventType, _) = Ontology.TriggerLexicon(lemma)
+      // two negation shapes: a normal cue ("did not <base>", label 1) and
+      // an affixal cue ("was unable to <base>", label 0)
+      val affixal = negated && rng.nextDouble() < 0.4
       val verbToks: Vector[String] =
-        if (negated) Vector("did", "not", lemma) // base form after "not"
+        if (affixal) Vector("was", "unable", "to", lemma)
+        else if (negated) Vector("did", "not", lemma) // base form after "not"
         else Vector(Ontology.PastForms(lemma))
-      val trigLocal = subjToks.length + (if (negated) 2 else 0)
+      val trigLocal = subjToks.length + (if (affixal) 3 else if (negated) 2 else 0)
       val pre = subjToks ++ verbToks
       val afterVerb = pre.length
       val placePart: Vector[String] =
@@ -182,7 +187,8 @@ object Synth {
           NerSpan(ps, ps + pt.length - 1, tpe)
         }
       val cueIdx = if (negated) offset + subjToks.length + 1 else -1
-      Clause(tokens, trigIdx, lemma, eventType, args, ner, cueIdx)
+      val cueLabel = if (affixal) 0 else 1
+      Clause(tokens, trigIdx, lemma, eventType, args, ner, cueIdx, cueLabel)
     }
   }
 
@@ -207,6 +213,7 @@ object Synth {
     var ner = Vector.empty[NerSpan]
     var relations = Vector.empty[Relation]
     var cueIdx = -1
+    var cueLabel = 3
     var trigIdxs = Vector.empty[(Int, String, String)] // (idx, lemma, type)
 
     def addClause(c: Clause): Unit = {
@@ -221,7 +228,7 @@ object Synth {
           Seq(Trigger(c.eventType, trigText, c.trigIdx, c.trigIdx)),
           c.args, dur, speculated)
       }
-      if (c.cueIdx >= 0) cueIdx = c.cueIdx
+      if (c.cueIdx >= 0) { cueIdx = c.cueIdx; cueLabel = c.cueLabel }
     }
 
     shape match {
@@ -261,7 +268,7 @@ object Synth {
 
     // negation cue/scope arrays (cue labels: README.md:5-9; scope binary)
     val n = tokens.length
-    val cue = Vector.tabulate(n)(i => if (i == cueIdx) 1 else 3)
+    val cue = Vector.tabulate(n)(i => if (i == cueIdx) cueLabel else 3)
     val scope =
       if (cueIdx < 0) Vector.fill(n)(0)
       else Vector.tabulate(n)(i => if (i >= cueIdx && tokens(i) != ".") 1 else 0)
