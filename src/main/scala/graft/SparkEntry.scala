@@ -94,7 +94,6 @@ object SparkEntry {
     }),
     "q4_dedup_exact_stats" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val nDocs = d.count()
       val dupGroups = Dedup.exactGroups(d)
       d.agg(
         count(lit(1)).as("n_docs"),
@@ -242,12 +241,12 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
-        |  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q2_join_broadcast" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
-        |  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q3_window_latest" ->
@@ -313,7 +312,7 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     "q24_json_props" ->
       """SELECT event_type,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q16_token_stats" ->

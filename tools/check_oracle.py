@@ -11,10 +11,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def norm_cell(v):
+    # Type-faithful, like the driver: a DuckDB decimal128 (e.g. SUM(BIGINT))
+    # must NOT silently compare equal to a Spark int64 — tag non-int exact
+    # numerics so a type mismatch fails here exactly as it fails the driver.
+    import decimal
     if v is None:
         return "NULL"
     if isinstance(v, float):
         return f"{v:.6f}"
+    if isinstance(v, decimal.Decimal):
+        return f"decimal:{v}"
     return str(v)
 
 def frame_hash(cols, rows):
