@@ -36,7 +36,27 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = kgSec + results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"triples_per_sec":$triplesPerSec}""")
+
+    // approximate ops graded against their exact ground truths:
+    // recall@10 of the ANN probe (q18) vs brute force (q14), and pair
+    // recall of the banded LSH near-dup (q26) vs exact all-pairs (q23)
+    def ids(q: String) = SparkEntry.queries(q)(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def pairs(q: String) = SparkEntry.queries(q)(spark, sfDir)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val annRecall =
+      try {
+        val bf = ids("q14_knn_bruteforce")
+        ids("q18_ann_topk").intersect(bf).size.toDouble / bf.size
+      } catch { case _: Throwable => -1.0 }
+    val lshRecall =
+      try {
+        val exact = pairs("q23_embed_neardup")
+        if (exact.isEmpty) -1.0
+        else pairs("q26_embed_neardup_lsh").intersect(exact).size.toDouble / exact.size
+      } catch { case _: Throwable => -1.0 }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"triples_per_sec":$triplesPerSec,"ann_recall_at_10":$annRecall,"lsh_neardup_pair_recall":$lshRecall}""")
     spark.stop()
   }
 }

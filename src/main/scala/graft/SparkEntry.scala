@@ -208,7 +208,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val query = emb.filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
-      Similarity.annTopK(emb, query, 10, nPlanes = 4)
+      Similarity.annTopK(emb, query, 10) // nPlanes adaptive to corpus size
     }),
     "q19_media_features" -> ((s, dir) => {
       val (nFiles, _) = Synth.sizeForSfDir(dir)
@@ -229,8 +229,23 @@ object SparkEntry {
         .agg(sum(col("props_p.k")).as("sum_k"), count(lit(1)).as("n"))
         .orderBy("event_type")),
     "q23_embed_neardup" -> ((s, dir) =>
-      Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.95)
-        .orderBy("a", "b"))
+      // exact all-pairs cosine (oracle-checkable recall ground truth);
+      // threshold 0.4 is data-driven: the synthetic embeddings are near-
+      // orthogonal (max pair cos ≈ 0.51 at sf0.01), so a 0.95 "near-dup"
+      // bar matches nothing — 0.4 selects the genuinely closest pairs
+      Similarity.exactNearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("a", "b")),
+    "q26_embed_neardup_lsh" -> ((s, dir) =>
+      // the scale path for q23: banded multi-table hyperplane LSH with
+      // corpus-adaptive planes + bucket cap; approximate (recall vs q23
+      // is reported by Bench), hence rows-only for the driver
+      Similarity.nearDupPairs(t(s, dir, "embeddings"), threshold = 0.4)
+        .orderBy("a", "b")),
+    "q25_quality" -> ((s, dir) =>
+      TextAnalysis.withQuality(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
+        .orderBy("doc_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -320,6 +335,139 @@ object SparkEntry {
         |  CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
         |       ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS ws_tokens,
         |  LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q11: the oracle is EXACT n-gram Jaccard >= 0.5 over all pairs; the
+    // engine's LSH (16 minhashes, 4 bands) is probabilistic, but on this
+    // corpus the only pairs above 0.5 are near-identical templates whose
+    // band-collision probability is ~1 — verified: LSH finds exactly the
+    // exact-Jaccard pair set at sf0.001/sf0.01 (deterministic seeded
+    // hashes, so this equality is stable, not a lucky draw).
+    "q11_minhash_neardups" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                          for i in range(1, len(w) - 1)])) AS g
+        |  FROM w WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, COUNT(*) AS nsh FROM g GROUP BY 1),
+        |pairs AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS common
+        |  FROM g l JOIN g r ON l.g = r.g AND l.doc_id < r.doc_id GROUP BY 1, 2)
+        |SELECT a, b,
+        |  ROUND(common::DOUBLE / (na.nsh + nb.nsh - common), 4) AS jaccard
+        |FROM pairs JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
+        |WHERE common::DOUBLE / (na.nsh + nb.nsh - common) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    // q13: exact Jaccard over the df-capped shingle universe — the cap
+    // (df <= 100) is part of the operator's semantics and is mirrored
+    // here, so engine and oracle agree at ANY scale, not just when the
+    // cap never fires.
+    "q13_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                          for i in range(1, len(w) - 1)])) AS g
+        |  FROM w WHERE len(w) >= 3),
+        |df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY 1),
+        |kept AS (SELECT doc_id, t.g FROM g t JOIN df USING (g) WHERE df <= 100),
+        |n AS (SELECT doc_id, COUNT(*) AS nsh FROM kept GROUP BY 1),
+        |pairs AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS common
+        |  FROM kept l JOIN kept r ON l.g = r.g AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b,
+        |  ROUND(common::DOUBLE / (na.nsh + nb.nsh - common), 4) AS jaccard
+        |FROM pairs JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
+        |WHERE common::DOUBLE / (na.nsh + nb.nsh - common) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    "q15_langid_dist" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |                x -> x <> '') AS words,
+        |    length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk
+        |  FROM documents),
+        |hits AS (
+        |  SELECT *,
+        |    len(list_filter(words, x -> list_contains(
+        |      ['the','a','of','and','to','in','is','it','that','was'], x))) AS h_en,
+        |    len(list_filter(words, x -> list_contains(
+        |      ['der','die','das','und','ist','ein','eine','zu','den','nicht'], x))) AS h_de,
+        |    len(list_filter(words, x -> list_contains(
+        |      ['le','la','les','et','est','un','une','dans','que','pas'], x))) AS h_fr,
+        |    len(list_filter(words, x -> list_contains(
+        |      ['el','la','los','y','es','un','una','en','que','no'], x))) AS h_es
+        |  FROM scored),
+        |lang AS (
+        |  SELECT CASE
+        |    WHEN text IS NULL OR length(text) = 0 THEN 'und'
+        |    WHEN cjk * 20 >= length(text) THEN 'zh'
+        |    WHEN len(words) = 0 THEN 'und'
+        |    WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |    WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+        |    WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+        |    WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+        |    ELSE 'de' END AS lang_pred
+        |  FROM hits)
+        |SELECT lang_pred, COUNT(*) AS n FROM lang GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q17: the native RollingFingerprint Expression (Karp-Rabin mod
+    // 2^61-1, min over 32-char windows) re-derived in pure SQL — DuckDB's
+    // HUGEINT carries the 122-bit intermediate products exactly.
+    "q17_fingerprint" ->
+      """WITH RECURSIVE pw(j, p) AS (
+        |  SELECT 0, 1::HUGEINT
+        |  UNION ALL
+        |  SELECT j + 1, (p * 1000003::HUGEINT) % 2305843009213693951::HUGEINT
+        |  FROM pw WHERE j < 31),
+        |pows AS (SELECT list(p ORDER BY j DESC) AS pl FROM pw),
+        |norm AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN length(s) = 0 THEN 0
+        |  ELSE CAST(list_min([
+        |      list_sum([unicode(s[i+j])::HUGEINT
+        |                * pl[33 - least(32, length(s)) + j]
+        |                for j in range(0, least(32, length(s)))])
+        |        % 2305843009213693951::HUGEINT
+        |      for i in range(1, length(s) - least(32, length(s)) + 2)]) AS BIGINT)
+        |  END AS fingerprint
+        |FROM norm, pows
+        |ORDER BY doc_id""".stripMargin,
+    "q23_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
+    "q25_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    LEN(regexp_split_to_array(text, '\s+')) AS n_words,
+        |    LENGTH(text) AS n_chars,
+        |    LENGTH(text) - LENGTH(regexp_replace(text, '[[:punct:]]', '', 'g'))
+        |      AS punct,
+        |    LEN(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> list_contains(
+        |        ['the','a','of','and','to','in','is','it','that','was'],
+        |        lower(x)))) AS stop_hits
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN n_chars::DOUBLE / n_words ELSE 0.0 END
+        |      AS mwl,
+        |    CASE WHEN n_chars > 0 THEN punct::DOUBLE / n_chars ELSE 0.0 END
+        |      AS pr,
+        |    CASE WHEN n_words > 0 THEN stop_hits::DOUBLE / n_words ELSE 0.0 END
+        |      AS sr
+        |  FROM f)
+        |SELECT doc_id, n_words,
+        |  ROUND(mwl, 4) AS mean_word_len,
+        |  ROUND(pr, 4) AS punct_ratio,
+        |  ROUND(sr, 4) AS stopword_ratio,
+        |  ROUND((CASE WHEN n_words >= 5 THEN 1.0 ELSE n_words / 5.0 END)
+        |    * (1.0 - LEAST(pr * 4, 1.0))
+        |    * (0.5 + LEAST(sr * 2, 0.5)), 4) AS quality_score
+        |FROM r ORDER BY doc_id""".stripMargin
   )
 }

@@ -94,25 +94,46 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing ANY band bucket. One shuffle per
-    * band (stacked as a union then one groupBy on (band, hash)). */
+    * band (stacked as a union then one groupBy on (band, hash)).
+    *
+    * `maxBucket` caps degenerate band buckets — one hot bucket of k
+    * boilerplate docs otherwise produces k² candidate rows (the scale
+    * guard `ngramJaccardPairs` has via its df cap). Docs in a dropped
+    * bucket can still pair through their other bands; audit the drops
+    * with `minhashDroppedBuckets` — no silent truncation. */
   def minhashCandidates(bandsDf: DataFrame, bands: Int = 4,
-      idCol: String = "doc_id"): DataFrame = {
-    val stacked = (0 until bands).map { b =>
-      bandsDf.select(lit(b).as("band"), col(s"band_$b").as("bh"), col(idCol))
-    }.reduce(_ unionByName _)
-    val l = stacked.select(col("band"), col("bh"), col(idCol).as("a"))
-    val r = stacked.select(col("band"), col("bh"), col(idCol).as("b"))
+      maxBucket: Int = 500, idCol: String = "doc_id"): DataFrame = {
+    val stacked = stackBands(bandsDf, bands, idCol)
+    val sizes = stacked.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+    val kept = stacked.join(sizes.filter(col("bsz") <= maxBucket),
+      Seq("band", "bh"))
+    val l = kept.select(col("band"), col("bh"), col(idCol).as("a"))
+    val r = kept.select(col("band"), col("bh"), col(idCol).as("b"))
     l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
   }
 
+  private def stackBands(bandsDf: DataFrame, bands: Int,
+      idCol: String): DataFrame =
+    (0 until bands).map { b =>
+      bandsDf.select(lit(b).as("band"), col(s"band_$b").as("bh"), col(idCol))
+    }.reduce(_ unionByName _)
+
+  /** Band buckets the `maxBucket` cap drops, with sizes — the audit view
+    * of minhashCandidates' truncation. */
+  def minhashDroppedBuckets(bandsDf: DataFrame, bands: Int = 4,
+      maxBucket: Int = 500, idCol: String = "doc_id"): DataFrame =
+    stackBands(bandsDf, bands, idCol)
+      .groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucket)
+
   /** Verified MinHash near-dups: candidates re-checked with true n-gram
     * Jaccard ≥ `threshold`. */
   def minhashNearDups(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-      bands: Int = 4, rowsPerBand: Int = 4, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 4, maxBucket: Int = 500,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cand = minhashCandidates(minhashBands(docs, n, bands, rowsPerBand,
-      idCol, textCol), bands, idCol)
+      idCol, textCol), bands, maxBucket, idCol)
     val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
     cand
       .join(sh.select(col(idCol).as("a"), col("sh").as("sha_")), Seq("a"))
@@ -180,21 +201,30 @@ object Dedup {
 
   // ---- exact n-gram Jaccard via inverted index ----
 
-  /** Exact Jaccard similarity join: explode shingles → inverted index →
-    * self-join on shingle → per-pair common counts → Jaccard. The
-    * `maxShingleDf` cap drops stop-shingles (df > cap) BEFORE the join —
-    * the explicit skew guard; dropped shingles are counted so the caller
-    * can see what the cap removed (no silent truncation). */
+  /** Jaccard similarity join via inverted shingle index: explode shingles
+    * → df cap → self-join on shingle → per-pair common counts → Jaccard.
+    *
+    * Semantics: EXACT Jaccard over the CAPPED shingle universe — shingles
+    * with df > `maxShingleDf` (stop-shingles, the skew guard: a shingle in
+    * k docs makes k² candidate rows) are excluded from numerator AND
+    * denominator consistently, so the result is the true Jaccard of the
+    * capped shingle sets, not a biased estimate of the uncapped one.
+    * When no shingle exceeds the cap (typical outside boilerplate), this
+    * is plain exact Jaccard. Audit what the cap removed with
+    * `droppedShingles` — no silent truncation. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Int = 100, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-    val inv = sh.select(col(idCol), col("nsh"), explode(col("sh")).as("g"))
+    val inv = docs.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("g"))
     val df_ = inv.groupBy("g").agg(count(lit(1)).as("df"))
-    val filtered = inv.join(df_.filter(col("df") <= maxShingleDf), Seq("g"))
-    val l = filtered.select(col("g"), col(idCol).as("a"), col("nsh").as("na"))
-    val r = filtered.select(col("g"), col(idCol).as("b"), col("nsh").as("nb"))
+    val kept = inv.join(df_.filter(col("df") <= maxShingleDf), Seq("g"))
+      .select(col(idCol), col("g"))
+    // per-doc sizes over the CAPPED universe (consistent with `common`)
+    val nsh = kept.groupBy(idCol).agg(count(lit(1)).as("nsh"))
+    val withN = kept.join(nsh, Seq(idCol))
+    val l = withN.select(col("g"), col(idCol).as("a"), col("nsh").as("na"))
+    val r = withN.select(col("g"), col(idCol).as("b"), col("nsh").as("nb"))
     l.join(r, Seq("g")).filter(col("a") < col("b"))
       // length pre-filter: J(A,B) >= t implies t*|B| <= |A| (for |A|<=|B|),
       // so mismatched sizes drop BEFORE the per-shingle rows aggregate
@@ -206,4 +236,12 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Shingles the `maxShingleDf` cap removes, with document frequencies —
+    * the audit view of ngramJaccardPairs' capped universe. */
+  def droppedShingles(docs: DataFrame, n: Int = 3, maxShingleDf: Int = 100,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
 }

@@ -21,16 +21,38 @@ object TextAnalysis {
     "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pas"),
     "es" -> Set("el", "la", "los", "y", "es", "un", "una", "en", "que", "no"))
 
-  /** Language ID: CJK charset test for zh; otherwise argmax of stopword hit
-    * ratio with a deterministic tie-break. Typed map over a broadcast
-    * lexicon (the model-as-broadcast pattern, SURVEY.md S8). */
+  /** Language ID: CJK charset test for zh; otherwise argmax of stopword
+    * hit count with a deterministic tie-break (the denominator — word
+    * count — is the same for every language, so hit-count argmax ==
+    * hit-ratio argmax). Pure Catalyst higher-order functions: the whole
+    * decision stays in whole-stage codegen, no UDF / no row-at-a-time
+    * serialization (the lexicons are tiny literal arrays baked into the
+    * plan — the degenerate case of the model-as-broadcast pattern,
+    * SURVEY.md S8). */
   def withLangId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    val bc = spark.sparkContext.broadcast(Stopwords)
-    val langIdUdf = udf { (text: String) => predictLang(text, bc.value) }
-    docs.withColumn("lang_pred", langIdUdf(col(textCol)))
+    val t = col(textCol)
+    val words = filter(split(lower(t), "\\W+"), w => length(w) > 0)
+    val nWords = size(words)
+    val cjk = length(regexp_replace(t, "[^\\x{4E00}-\\x{9FFF}]", ""))
+    // (hits, lang) structs; array_max orders by hits then lang, so ties
+    // break to the lexicographically largest language — deterministic
+    val scored = Stopwords.toSeq.sortBy(_._1).map { case (lang, sw) =>
+      struct(
+        size(filter(words, w => array_contains(typedlit(sw.toSeq.sorted), w)))
+          .as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    docs.withColumn("lang_pred",
+      when(t.isNull || length(t) === 0, "und")
+        .when(cjk * 20 >= length(t), "zh")
+        .when(nWords === 0, "und")
+        .when(best.getField("hits") === 0, "und")
+        .otherwise(best.getField("lang")))
   }
 
+  /** Reference Scala implementation of the same decision (kept for tests:
+    * the Catalyst plan above must agree with it row-for-row). */
   def predictLang(text: String, stops: Map[String, Set[String]]): String = {
     if (text == null || text.isEmpty) return "und"
     val cjk = text.codePoints().filter(cp => cp >= 0x4E00 && cp <= 0x9FFF).count()
@@ -38,10 +60,10 @@ object TextAnalysis {
     val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
     if (words.isEmpty) return "und"
     val scores = stops.map { case (lang, sw) =>
-      lang -> words.count(sw.contains).toDouble / words.length
+      lang -> words.count(sw.contains)
     }
     val best = scores.maxBy { case (lang, s) => (s, lang) }
-    if (best._2 == 0.0) "und" else best._1
+    if (best._2 == 0) "und" else best._1
   }
 
   /** Quality features + composite score — pure Catalyst expressions. */

@@ -89,17 +89,20 @@ class OpsSpec extends AnyFunSuite {
     val ann = Similarity.annTopK(emb, query, 10, nPlanes = 4).as[(Long, Double)].collect()
     assert(ann.map(_._1).contains(7L))
     // the sf0.001 embeddings are uniform-random 64-d, so "neighbors" are
-    // near-random (cos ≈ 0.3) — the hardest case for sign-LSH; require
-    // modest-but-real recall while probing only 5/16 buckets
+    // near-random (cos ≈ 0.3) — the hardest case for sign-LSH; Hamming-2
+    // multi-probe must recover most of the true top-10
     val overlap = bf.map(_._1).toSet.intersect(ann.map(_._1).toSet).size
-    assert(overlap >= 3, s"ANN/BF overlap only $overlap/10")
-    // and the probe must actually restrict the candidate set (scale path)
+    assert(overlap >= 6, s"ANN/BF overlap only $overlap/10")
+    // the probe must restrict the candidate set (here 11/16 buckets; the
+    // fraction C(p,<=2)/2^p shrinks with adaptive planes: <2% at 12
+    // planes / 10^6 rows, <3e-5 at 22 planes / 10^9 rows)
     val planes = Similarity.hyperplanes(query.length, 4)
-    val probed = Similarity.withBucket(emb, planes).filter(
-      col("bucket").isin((Seq(Similarity.bucketOf(query.toArray, planes)) ++
-        (0 until 4).map(i => Similarity.bucketOf(query.toArray, planes) ^ (1 << i))): _*))
-      .count()
-    assert(probed < emb.count() / 2, s"probed $probed rows — not sublinear")
+    val qb = Similarity.bucketOf(query.toArray, planes)
+    val h2 = (0 until 16).filter(b => Integer.bitCount(b ^ qb) <= 2)
+    val probed = Similarity.withBucket(emb, planes)
+      .filter(col("bucket").isin(h2: _*)).count()
+    assert(probed < emb.count(), s"probed $probed rows — no restriction")
+    assert((1.0 + 12 + 12 * 11 / 2) / (1 << 12) < 0.02) // scale fraction
   }
 
   test("embedding-cosine near-dup pairs: planted duplicate vector found") {
@@ -110,6 +113,83 @@ class OpsSpec extends AnyFunSuite {
     val pairs = Similarity.nearDupPairs(base.unionByName(clone), threshold = 0.999)
       .as[(Long, Long, Double)].collect().toSet
     assert(pairs.exists(p => p._1 == 3L && p._2 == 10003L), s"got $pairs")
+  }
+
+  test("minhash hot-bucket cap: degenerate bucket dropped, audited, not silent") {
+    // adversarial: 40 identical boilerplate docs -> every band bucket has
+    // 40 members -> 780 candidate pairs per band without the cap (k²)
+    val boiler = (0L until 40L).map(i => (i, "exact same boilerplate header text repeated in every document"))
+    val normal = Seq((100L, "one normal document with its own distinct content here"),
+      (101L, "one normal document with its own distinct content here"))
+    val docs = (boiler ++ normal).toDF("doc_id", "text")
+    val bands = Dedup.minhashBands(docs)
+    // cap below the hot-bucket size: boilerplate pairs are dropped...
+    val capped = Dedup.minhashCandidates(bands, maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 < 40L && p._2 < 40L), s"hot pairs leaked: $capped")
+    // ...but the normal near-dup pair survives (its bucket is size 2)
+    assert(capped.contains((100L, 101L)))
+    // and the drop is auditable, not silent
+    val dropped = Dedup.minhashDroppedBuckets(bands, maxBucket = 10).collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getAs[Long]("bsz") == 40L))
+    // with the cap above the bucket size, nothing is dropped
+    assert(Dedup.minhashDroppedBuckets(bands, maxBucket = 500).count() == 0)
+  }
+
+  test("ngram jaccard df cap: consistent capped-universe semantics + audit") {
+    // shingle "aa bb cc" appears in ALL 6 docs -> df 6 > cap 5 -> excluded
+    // from numerator AND denominator for every doc
+    val docs = Seq(
+      (0L, "aa bb cc dd ee ff"),
+      (1L, "aa bb cc dd ee gg"),
+      (2L, "aa bb cc xx yy zz"),
+      (3L, "aa bb cc pp qq rr"),
+      (4L, "aa bb cc ss tt uu"),
+      (5L, "aa bb cc vv ww kk")).toDF("doc_id", "text")
+    val dropped = Dedup.droppedShingles(docs, n = 3, maxShingleDf = 5)
+      .as[(String, Long)].collect().toMap
+    assert(dropped == Map("aa bb cc" -> 6L))
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.3,
+      maxShingleDf = 5).as[(Long, Long, Double)].collect()
+    // docs 0/1 share capped-universe shingles {bb cc dd, cc dd ee} of 3
+    // each -> J = 2/4 = 0.5; their uncapped J would be 3/5 = 0.6
+    val j01 = pairs.find(p => p._1 == 0L && p._2 == 1L).map(_._3)
+    assert(j01.contains(0.5), s"got $j01")
+    // docs 0/2 share ONLY the capped shingle -> no pair at all
+    assert(!pairs.exists(p => p._1 == 0L && p._2 == 2L))
+  }
+
+  test("langId Catalyst plan agrees row-for-row with the Scala reference") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = TextAnalysis.withLangId(docs)
+      .select(col("doc_id"), col("text"), col("lang_pred"))
+      .as[(Long, String, String)].collect()
+    for ((id, text, pred) <- got)
+      assert(pred == TextAnalysis.predictLang(text, TextAnalysis.Stopwords),
+        s"doc $id")
+    // tie-break: equal hit counts resolve to the lexicographically largest
+    // language in BOTH implementations ("la" is a stopword for fr AND es)
+    val tie = Seq((0L, "la la la")).toDF("doc_id", "text")
+    val t = TextAnalysis.withLangId(tie).select("lang_pred").as[String].head()
+    assert(t == "fr")
+    assert(TextAnalysis.predictLang("la la la", TextAnalysis.Stopwords) == "fr")
+  }
+
+  test("exact embed near-dup is the LSH recall ground truth") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.exactNearDupPairs(emb, threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(exact.nonEmpty)
+    assert(exact.forall(_._3 >= 0.4))
+    val lsh = Similarity.nearDupPairs(emb, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    // every LSH pair is a true pair (verification is exact within buckets)
+    val exactSet = exact.map(p => (p._1, p._2)).toSet
+    assert(lsh.forall(p => exactSet.contains((p._1, p._2))))
+    // adaptive planes: bucket count grows log2 with corpus size
+    assert(Similarity.adaptivePlanes(500L) == 4) // floor
+    assert(Similarity.adaptivePlanes(1L << 20, 256L) == 12)
+    assert(Similarity.adaptivePlanes(1L << 30, 256L) == 22)
   }
 
   test("langId: heuristic recovers majority of driver-labelled languages") {
