@@ -334,6 +334,87 @@ object Pipeline {
     Annotated(tagged, enriched, rels)
   }
 
+  /** Ingest reference-format annotation records (Sources.annotationSchema,
+    * the golden .pred.json shape) into the Annotated frame: runs the
+    * engine's assembly / linking / canonicalization / materialization over
+    * REFERENCE-produced annotations instead of its own taggers — the
+    * circularity breaker for the golden gate (GoldenAceSpec), and the
+    * general adapter for re-materializing a KG from committed annotation
+    * snapshots. Durations / speculation / relations absent from a record
+    * become blank / false / empty (the reference renders the same
+    * defaults, main.py:209-230). Narrow maps only — no shuffle. */
+  def fromAnnotations(spark: SparkSession, ann: DataFrame, repo: String,
+      path: String): Annotated = {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val withIdx = if (ann.columns.contains("rec_idx")) ann
+      else ann.withColumn("rec_idx", lit(0L))
+    val base = withIdx.select(col("rec_idx").cast("long"), col("line_num"),
+      col("sen_num"), col("tokens"), col("events"), col("ner")).persist()
+
+    // nested struct arrays come back as scala.collection.Seq (mutable
+    // ArraySeq at runtime) — never ascribe immutable Seq to them
+    def nested(r: Row, field: String): scala.collection.Seq[Row] =
+      Option(r.getAs[scala.collection.Seq[Row]](field))
+        .getOrElse(scala.collection.Seq.empty)
+
+    def meta(r: Row): (Int, Int, Seq[String], String) = {
+      val lineNum = if (r.isNullAt(1)) 0 else r.getInt(1)
+      val senNum = if (r.isNullAt(2)) r.getLong(0).toInt else r.getInt(2)
+      val tokens = Option(r.getSeq[String](3)).getOrElse(Seq.empty)
+      (lineNum, senNum, tokens, graft.text.Text.sha256(tokens.mkString(" ")))
+    }
+    def eventRows(r: Row): Seq[Row] =
+      Option(r.getSeq[Row](4)).getOrElse(Seq.empty)
+
+    val tagged = base.map { r =>
+      val (lineNum, senNum, tokens, sha) = meta(r)
+      val ner = Option(r.getSeq[scala.collection.Seq[String]](5))
+        .getOrElse(Seq.empty)
+        .collect { case s if s != null && s.length >= 3 =>
+          NerSpan(s(0).toInt, s(1).toInt, s(2)) }
+      val triggers = eventRows(r).flatMap { ev =>
+        val evType = Option(ev.getAs[String]("event_type")).getOrElse("")
+        nested(ev, "triggers").map { tr =>
+          Trigger(evType, Option(tr.getAs[String]("text")).getOrElse(""),
+            tr.getAs[Int]("start_token"), tr.getAs[Int]("end_token"))
+        }
+      }
+      TaggedSentence(repo, path, sha, lineNum, senNum,
+        sentKeyOf(repo, path, lineNum, senNum), tokens, ner, triggers,
+        Seq.empty, Seq.empty)
+    }
+
+    val events = base.flatMap { r =>
+      val (lineNum, senNum, _, sha) = meta(r)
+      val sentKey = sentKeyOf(repo, path, lineNum, senNum)
+      eventRows(r).flatMap { ev =>
+        val evType = Option(ev.getAs[String]("event_type")).getOrElse("")
+        val dur = Option(ev.getAs[String]("duration")).getOrElse("")
+        val spec = Option(ev.getAs[Any]("speculation"))
+          .exists(_.asInstanceOf[Boolean])
+        val args = nested(ev, "arguments")
+          .map(a => Argument(Option(a.getAs[String]("role")).getOrElse(""),
+            Option(a.getAs[String]("text")).getOrElse(""),
+            a.getAs[Int]("start_token"), a.getAs[Int]("end_token"))).toSeq
+        // P5 event assembly: each trigger becomes an event row carrying
+        // the event-level type (the reference's first-trigger convention)
+        nested(ev, "triggers").map { tr =>
+          val text = Option(tr.getAs[String]("text")).getOrElse("")
+          val start = tr.getAs[Int]("start_token")
+          (EventRow(repo, path, sha, lineNum, senNum, sentKey,
+            eventIdOf(sentKey, start), evType, text,
+            Ontology.lemmaOf(text), start, tr.getAs[Int]("end_token"), args),
+            dur, spec)
+        }
+      }
+    }.select(col("_1.*"), col("_2").as("duration"), col("_3").as("speculation"))
+
+    val relations = spark.emptyDataset[(String, Int, Int, String)]
+      .toDF("sentKey", "lAligned", "rAligned", "label")
+    Annotated(tagged, events, relations)
+  }
+
   /** Checkpoint-resumable end-to-end run (north rule): every stage commits
     * an Iceberg-style snapshot + manifest via Store; a rerun resumes from
     * the last committed stage — compute closures of committed stages are

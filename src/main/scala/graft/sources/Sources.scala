@@ -47,6 +47,19 @@ object Sources {
   def parseAnnotation(df: DataFrame, jsonCol: String): DataFrame =
     df.withColumn("ann", from_json(col(jsonCol), annotationSchema))
 
+  /** Read a file whose ROOT is a JSON array of annotation records — the
+    * layout of the reference's golden corpora
+    * (component/Duration/Mu_test_data/ *.pred.json) — with DETERMINISTIC
+    * record numbering: wholetext → from_json(array) → posexplode, so
+    * `rec_idx` is the array position, never a partitioning accident.
+    * (Fine for golden-corpus files; petabyte annotation feeds should be
+    * NDJSON through `readAnnotations`, which splits.) */
+  def readAnnotationArray(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+      .select(posexplode(from_json(col("value"), ArrayType(annotationSchema)))
+        .as(Seq("rec_idx", "ann")))
+      .select(col("rec_idx"), col("ann.*"))
+
   /** The Duration-stage input explode: events × triggers → one row per
     * trigger (preprocess.py:104-113 — the UDTF/X1 shape as pure SQL). */
   def explodeTriggerRows(ann: DataFrame): DataFrame =
