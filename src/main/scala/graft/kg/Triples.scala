@@ -39,13 +39,18 @@ object Triples {
       .select(Seq(col("eventId").as("subj"), lit("hasType").as("pred"),
         col("eventType").as("obj")) ++ lineage: _*)
 
-    // (event, ROLE, canonicalized arg text) — coref-canonicalized (J5)
+    // (event, ROLE, canonicalized arg text) — coref-canonicalized (J5).
+    // formMap is cached: the broadcast-or-salt gate inside rewrite counts
+    // it, and recomputing the CC loop for the join would be a second full
+    // canonicalization
+    val maxBroadcastRows =
+      spark.conf.get("spark.graft.maxBroadcastRows", "1000000").toLong
     val argMentions = events
       .select((Seq(col("eventId"), explode(col("args")).as("arg")) ++ lineage): _*)
       .select(Seq(col("eventId"), col("arg.role").as("role"),
         col("arg.text").as("text")) ++ lineage: _*)
-    val formMap = Canonicalize.canonicalForms(spark, argMentions)
-    val argTriples = Canonicalize.rewrite(argMentions, formMap)
+    val formMap = Canonicalize.canonicalForms(spark, argMentions).persist()
+    val argTriples = Canonicalize.rewrite(argMentions, formMap, maxBroadcastRows)
       .select(Seq(col("eventId").as("subj"), col("role").as("pred"),
         col("canonical").as("obj")) ++ lineage: _*)
 
@@ -83,13 +88,18 @@ object Triples {
     // (event, sameAs, canonicalEvent) — event linking: block on
     // (repo, trigger lemma, type); canonical id = min eventId in block.
     // Two-phase: partial-aggregated groupBy (map-side combine absorbs the
-    // hot-lemma skew), then broadcast the small block→canonical map back.
+    // hot-lemma skew), then the block→canonical map joins back through
+    // the broadcast-or-salt gate — the map has one row per distinct
+    // (repo, lemma, type) block, which GROWS with the corpus, so an
+    // unconditional broadcast would OOM at 100× scale
     val typed = events.filter(col("eventType") =!= "")
     val blockCanon = typed
       .groupBy(col("repo"), col("trigLemma"), col("eventType"))
       .agg(min(col("eventId")).as("canonicalId"))
-    val sameAs = typed
-      .join(broadcast(blockCanon), Seq("repo", "trigLemma", "eventType"))
+      .persist() // gate counts it; events cache makes the recompute cheap
+    val sameAs = graft.ops.SkewJoin.gatedJoin(typed, blockCanon,
+      Seq("repo", "trigLemma", "eventType"),
+      saltSource = Seq("eventId"), maxBroadcastRows = maxBroadcastRows)
       .filter(col("eventId") =!= col("canonicalId"))
       .select(Seq(col("eventId").as("subj"), lit("sameAs").as("pred"),
         col("canonicalId").as("obj")) ++ lineage: _*)

@@ -80,6 +80,13 @@ object Canonicalize {
       labels = next
       iter += 1
     }
+    if (!converged)
+      // a component with diameter > maxIter would be silently split into
+      // several canonical clusters — surface it instead
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"connectedComponents: label propagation did NOT converge " +
+          s"after $maxIter iterations — some components may be split; " +
+          s"raise maxIter")
     undirected.unpersist()
     labels
   }
@@ -116,11 +123,16 @@ object Canonicalize {
     out
   }
 
-  /** Rewrite mention texts to canonical forms: broadcast join against the
-    * form map (J5 analog, coref.py:80-119). The map side is distinct
-    * surface forms — small by construction — so the skewed big side never
-    * shuffles. */
-  def rewrite(mentions: DataFrame, formMap: DataFrame): DataFrame =
-    mentions.join(broadcast(formMap), Seq("repo", "text"), "left")
+  /** Rewrite mention texts to canonical forms (J5 analog,
+    * coref.py:80-119). The map side is distinct surface forms — usually
+    * small — but NOT vocabulary-bounded when arguments contain names, so
+    * the join is gated: broadcast below `maxBroadcastRows`, salted
+    * shuffle join (hot forms spread over 16 reducers) above. Callers
+    * should cache `formMap`; the gate counts it. */
+  def rewrite(mentions: DataFrame, formMap: DataFrame,
+      maxBroadcastRows: Long = 1000000L): DataFrame =
+    graft.ops.SkewJoin.gatedJoin(mentions, formMap, Seq("repo", "text"),
+      saltSource = mentions.columns.toSeq, joinType = "left",
+      maxBroadcastRows = maxBroadcastRows)
       .withColumn("canonical", coalesce(col("canonical"), col("text")))
 }

@@ -20,15 +20,35 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Inner equi-join of `skewed` and `other` on `key`, salted S ways.
+  /** Equi-join of `skewed` and `other` on `keys`, salted S ways.
     * Deterministic: the salt is a hash of the skewed row's salt-source
-    * columns, not a random number. */
-  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
-      salts: Int, saltSource: Seq[String]): DataFrame = {
+    * columns, not a random number. Works for "inner" and "left" (the
+    * replicated side carries every salt value, so a key that matches
+    * matches exactly its salt copy and a key that doesn't stays null). */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+      salts: Int, saltSource: Seq[String],
+      joinType: String = "inner"): DataFrame = {
     val saltCol = pmod(hash(saltSource.map(col): _*), lit(salts))
     val left = skewed.withColumn("__salt", saltCol)
     val right = other.withColumn("__salt",
       explode(typedlit(Seq.range(0, salts))))
-    left.join(right, Seq(key, "__salt")).drop("__salt")
+    left.join(right, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+      salts: Int, saltSource: Seq[String]): DataFrame =
+    saltedJoin(skewed, other, Seq(key), salts, saltSource)
+
+  /** The scale gate replacing unconditional `broadcast(small)`: broadcast
+    * while the build side is provably small, salted shuffle join once it
+    * is not (a canonical-form or block→canonical map grows with the
+    * corpus at 10^12 files — an unconditional broadcast OOMs the driver
+    * at 100× scale). `small` should be cached by the caller: the gate
+    * costs one count() over it. */
+  def gatedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltSource: Seq[String], joinType: String = "inner",
+      maxBroadcastRows: Long = 1000000L, salts: Int = 16): DataFrame =
+    if (small.count() <= maxBroadcastRows)
+      big.join(broadcast(small), keys, joinType)
+    else saltedJoin(big, small, keys, salts, saltSource, joinType)
 }

@@ -50,4 +50,33 @@ class SkewSpec extends AnyFunSuite {
     val subjects = sameAs.select(col("subj").as("id")).distinct()
     assert(roots.join(subjects, Seq("id"), "left_semi").count() == 0)
   }
+
+  test("salted LEFT join preserves unmatched rows (rewrite path)") {
+    val big = Seq(("r", "alpha", 1L), ("r", "beta", 2L), ("r", "gamma", 3L))
+      .toDF("repo", "text", "payload")
+    val map = Seq(("r", "alpha", "ALPHA"), ("r", "beta", "BETA"))
+      .toDF("repo", "text", "canonical")
+    val out = SkewJoin.saltedJoin(big, map, Seq("repo", "text"), salts = 4,
+      saltSource = Seq("payload"), joinType = "left")
+      .select("text", "canonical").as[(String, Option[String])]
+      .collect().toMap
+    assert(out == Map("alpha" -> Some("ALPHA"), "beta" -> Some("BETA"),
+      "gamma" -> None))
+  }
+
+  test("broadcast gate forced off: salted path emits IDENTICAL triples") {
+    val files = Synth.corpus(spark, 30L, 5)
+    def run(): Set[String] =
+      Triples.emit(spark, Pipeline.annotate(spark, files))
+        .select(concat_ws("", col("subj"), col("pred"), col("obj")))
+        .as[String].collect().toSet
+    val viaBroadcast = run()
+    spark.conf.set("spark.graft.maxBroadcastRows", "0")
+    try {
+      val viaSalted = run()
+      assert(viaSalted == viaBroadcast,
+        s"diff: ${(viaSalted diff viaBroadcast).take(3)} / " +
+          s"${(viaBroadcast diff viaSalted).take(3)}")
+    } finally spark.conf.unset("spark.graft.maxBroadcastRows")
+  }
 }
