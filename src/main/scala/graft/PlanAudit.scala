@@ -11,7 +11,8 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.01"
     val names = Seq("q1_agg", "q2_join_broadcast", "q3_window_latest",
       "q6_nearest_join", "q7_pairs_per_day", "q10_range_join",
-      "q14_knn_bruteforce", "q16_token_stats", "q22_semi_by_brand")
+      "q14_knn_bruteforce", "q15_langid_dist", "q16_token_stats",
+      "q22_semi_by_brand", "q23_embed_neardup", "q25_quality")
     val sb = new StringBuilder
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)

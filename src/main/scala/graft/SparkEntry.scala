@@ -66,6 +66,13 @@ object SparkEntry {
       triplesFor(s, dir).filter(col("pred") === "hasEntity")
         .groupBy(col("obj").as("entity")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("entity")).limit(20)),
+    "kg_timeline" -> ((s, dir) =>
+      // per-doc timeline fit (timelinemodule.py analog) over the cached
+      // triples; summarized as per-doc event counts + spread
+      graft.eval.Timeline.fitFromTriples(s, triplesFor(s, dir))
+        .groupBy("doc").agg(count(lit(1)).as("n_events"),
+          round(avg(col("t")), 4).as("mean_t"))
+        .orderBy("doc")),
 
     // ---- relational operators with DuckDB oracles ----
     "q1_agg" -> ((s, dir) =>
