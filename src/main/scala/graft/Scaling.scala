@@ -10,10 +10,22 @@ import graft.kg.Triples
 /** Two-parallelism scaling evidence for the north rule: the SAME KG job on
   * the SAME deterministic input at local[N] and local[4N] (the sandbox
   * proxy for N vs 4N executors, per the driver instruction), reporting
-  * throughput at both and efficiency = thr(4N) / (4 × thr(N)). Appends the
-  * measured table to BENCH/BASELINE.md.
+  * throughput at both and efficiency = thr(4N) / (4 × thr(N)).
   *
-  * Usage: runMain graft.Scaling [nFiles] [sentsPerFile] [nLow]
+  * Round-2 protocol (replaces round 1's single-sample argument):
+  *   - REPEATED, INTERLEAVED runs (low, high, low, high, ...) so shared-
+  *     host drift hits both arms equally;
+  *   - the JVM is CPU-PINNED per run via `taskset -apc` (all threads):
+  *     local[N] runs on exactly N CPUs, local[4N] on exactly 4N — the
+  *     wall-clock budget matches the claimed parallelism instead of
+  *     letting the 2-thread run borrow 32 CPUs for GC/daemon work;
+  *   - the headline is the MEDIAN-throughput efficiency
+  *     median(thr_high) / (4 × median(thr_low)), with every sample
+  *     reported alongside.
+  *
+  * Appends the measured table to BENCH/BASELINE.md.
+  *
+  * Usage: runMain graft.Scaling [nFiles] [sentsPerFile] [nLow] [reps]
   */
 object Scaling {
 
@@ -22,7 +34,20 @@ object Scaling {
     def sentencesPerSec: Double = sentences / sec
   }
 
-  def runOnce(cores: Int, nFiles: Long, spf: Int): Run = {
+  /** Pin ALL threads of this JVM to the given CPU list ("0-7"). New
+    * threads (each run builds a fresh SparkSession and pools) inherit
+    * the creator's mask, so pinning before session creation covers the
+    * executors too. */
+  def pin(cpus: String): Unit = {
+    val pid = ProcessHandle.current().pid().toString
+    val p = new ProcessBuilder("taskset", "-apc", cpus, pid)
+      .redirectErrorStream(true).start()
+    p.getInputStream.readAllBytes() // drain
+    p.waitFor()
+  }
+
+  def runOnce(cores: Int, nFiles: Long, spf: Int, pinned: Boolean): Run = {
+    if (pinned) pin(s"0-${cores - 1}")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -44,29 +69,60 @@ object Scaling {
     } finally spark.stop()
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) 0.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val nFiles = args.lift(0).map(_.toLong).getOrElse(6000L)
     val spf = args.lift(1).map(_.toInt).getOrElse(8)
-    val nLow = args.lift(2).map(_.toInt).getOrElse(8)
-    val low = runOnce(nLow, nFiles, spf)
-    val high = runOnce(nLow * 4, nFiles, spf)
-    val eff = high.triplesPerSec / (4.0 * low.triplesPerSec)
+    val nLow = args.lift(2).map(_.toInt).getOrElse(2)
+    val reps = args.lift(3).map(_.toInt).getOrElse(5)
+    val nHigh = nLow * 4
+
+    val lows = scala.collection.mutable.ArrayBuffer.empty[Run]
+    val highs = scala.collection.mutable.ArrayBuffer.empty[Run]
+    for (rep <- 1 to reps) {
+      lows += runOnce(nLow, nFiles, spf, pinned = true)
+      highs += runOnce(nHigh, nFiles, spf, pinned = true)
+      val l = lows.last; val h = highs.last
+      System.err.println(f"[scaling] rep $rep: local[$nLow]=${l.sec}%.1fs " +
+        f"local[$nHigh]=${h.sec}%.1fs pairEff=${h.triplesPerSec / (4 * l.triplesPerSec)}%.3f")
+    }
+    pin("0-31") // unpin
+
+    val medLow = median(lows.map(_.triplesPerSec).toSeq)
+    val medHigh = median(highs.map(_.triplesPerSec).toSeq)
+    val eff = medHigh / (4.0 * medLow)
+    val pairEffs = lows.zip(highs).map { case (l, h) =>
+      h.triplesPerSec / (4.0 * l.triplesPerSec) }
+
     val json =
-      s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","low_cores":${low.cores},"high_cores":${high.cores},"low_sec":${low.sec},"high_sec":${high.sec},"triples":${low.triples},"low_triples_per_sec":${low.triplesPerSec},"high_triples_per_sec":${high.triplesPerSec},"n_files":$nFiles,"sents_per_file":$spf}"""
+      s"""{"metric":"scaling_efficiency_median","value":$eff,"unit":"ratio","low_cores":$nLow,"high_cores":$nHigh,"reps":$reps,"low_sec":[${lows.map(_.sec).mkString(",")}],"high_sec":[${highs.map(_.sec).mkString(",")}],"pair_eff":[${pairEffs.mkString(",")}],"median_low_tps":$medLow,"median_high_tps":$medHigh,"triples":${lows.head.triples},"n_files":$nFiles,"sents_per_file":$spf,"pinned":true}"""
     println(json)
+
+    val sampleRows = lows.zip(highs).zipWithIndex.map { case ((l, h), i) =>
+      f"| ${i + 1} | ${l.sec}%.1f | ${h.sec}%.1f | ${l.triplesPerSec}%.0f | ${h.triplesPerSec}%.0f | ${pairEffs(i)}%.3f |"
+    }.mkString("\n")
     val md =
       s"""
-         |## Measured scaling (graft.Scaling, ${java.time.LocalDate.now()})
+         |## Measured scaling (round 2: pinned repeat-median, graft.Scaling, ${java.time.LocalDate.now()})
          |
          |Same job (KG pipeline → triple count), same deterministic input
-         |($nFiles files × $spf sentences, ${low.triples} triples), one JVM per run:
+         |($nFiles files × $spf sentences, ${lows.head.triples} triples), one fresh
+         |SparkSession per run, JVM `taskset`-pinned to exactly N CPUs for a
+         |local[N] run, arms interleaved (low, high, ×$reps):
          |
-         || cores | wall (s) | triples/sec | sentences/sec |
-         ||---|---|---|---|
-         || local[${low.cores}] | ${f"${low.sec}%.1f"} | ${f"${low.triplesPerSec}%.0f"} | ${f"${low.sentencesPerSec}%.0f"} |
-         || local[${high.cores}] | ${f"${high.sec}%.1f"} | ${f"${high.triplesPerSec}%.0f"} | ${f"${high.sentencesPerSec}%.0f"} |
+         || rep | local[$nLow] wall (s) | local[$nHigh] wall (s) | low triples/s | high triples/s | pair eff |
+         ||---|---|---|---|---|---|
+         |$sampleRows
          |
-         |**Scaling efficiency (N→4N) = ${f"$eff%.3f"}** (target ≥ 0.8; perfect = 1.0).
+         |Median throughput: local[$nLow] = ${f"$medLow%.0f"} triples/s,
+         |local[$nHigh] = ${f"$medHigh%.0f"} triples/s.
+         |**Median scaling efficiency (N→4N) = ${f"$eff%.3f"}** (target ≥ 0.8; perfect = 1.0).
          |""".stripMargin
     val out = Paths.get("BENCH")
     Files.createDirectories(out)

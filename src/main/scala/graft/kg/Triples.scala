@@ -27,8 +27,10 @@ object Triples {
     // materialize the cache NOW: the canonicalization loop and the two
     // broadcast builds below otherwise race to each recompute the whole
     // upstream DAG before any of them fills the cache (broadcast exchanges
-    // execute on separate threads)
-    events.count()
+    // execute on separate threads). The count doubles as the cardinality
+    // upper bound that lets the broadcast gates below resolve without
+    // extra jobs.
+    val nEvents = events.count()
 
     val lineage = Seq(col("repo"), col("path"), col("contentSha"))
 
@@ -96,10 +98,13 @@ object Triples {
     val blockCanon = typed
       .groupBy(col("repo"), col("trigLemma"), col("eventType"))
       .agg(min(col("eventId")).as("canonicalId"))
-      .persist() // gate counts it; events cache makes the recompute cheap
+      .persist() // if the gate must count it, the join reuses the cache
     val sameAs = graft.ops.SkewJoin.gatedJoin(typed, blockCanon,
       Seq("repo", "trigLemma", "eventType"),
-      saltSource = Seq("eventId"), maxBroadcastRows = maxBroadcastRows)
+      saltSource = Seq("eventId"), maxBroadcastRows = maxBroadcastRows,
+      // one row per distinct block <= one per event: the already-
+      // materialized event count usually resolves the gate job-free
+      smallUpperBound = nEvents)
       .filter(col("eventId") =!= col("canonicalId"))
       .select(Seq(col("eventId").as("subj"), lit("sameAs").as("pred"),
         col("canonicalId").as("obj")) ++ lineage: _*)

@@ -43,12 +43,21 @@ object SkewJoin {
     * while the build side is provably small, salted shuffle join once it
     * is not (a canonical-form or block→canonical map grows with the
     * corpus at 10^12 files — an unconditional broadcast OOMs the driver
-    * at 100× scale). `small` should be cached by the caller: the gate
-    * costs one count() over it. */
+    * at 100× scale).
+    *
+    * When the caller already holds an upper bound on the build side's
+    * cardinality (e.g. the block→canonical map has at most one row per
+    * event, and the event count was just materialized), pass it as
+    * `smallUpperBound`: a bound under the threshold resolves the gate
+    * WITHOUT the extra count() job — the gate then costs nothing on the
+    * serial path. Otherwise `small` should be cached by the caller, since
+    * the gate counts it. */
   def gatedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
       saltSource: Seq[String], joinType: String = "inner",
-      maxBroadcastRows: Long = 1000000L, salts: Int = 16): DataFrame =
-    if (small.count() <= maxBroadcastRows)
+      maxBroadcastRows: Long = 1000000L, salts: Int = 16,
+      smallUpperBound: Long = Long.MaxValue): DataFrame =
+    if (smallUpperBound <= maxBroadcastRows ||
+        small.count() <= maxBroadcastRows)
       big.join(broadcast(small), keys, joinType)
     else saltedJoin(big, small, keys, salts, saltSource, joinType)
 }
