@@ -112,6 +112,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(m(("r2", "Pataki")) == "Pataki")
   }
 
+  test("local union-find CC == distributed label propagation") {
+    // same graph through both strategies
+    val vids = (1 to 10).map(i => s"v$i").toArray
+    val edgePairs = Array(("v1", "v2"), ("v2", "v3"), ("v3", "v4"),
+      ("v5", "v6"), ("v5", "v7"), ("v5", "v8"))
+    val local = Canonicalize.localComponents(spark, vids, edgePairs)
+      .as[(String, String)].collect().toMap
+    val dist = Canonicalize.connectedComponents(spark,
+      vids.toSeq.toDF("vid"), edgePairs.toSeq.toDF("src", "dst"))
+      .as[(String, String)].collect().toMap
+    assert(local == dist)
+  }
+
+  test("canonicalForms: local and distributed CC paths emit the same map") {
+    val mentions = Seq(
+      ("r1", "George Pataki"), ("r1", "Pataki"), ("r1", "the convoy"),
+      ("r1", "a convoy"), ("r2", "Pataki"), ("r1", "Governor George Pataki")
+    ).toDF("repo", "text")
+    def run(): Map[(String, String), String] =
+      Canonicalize.canonicalForms(spark, mentions)
+        .as[(String, String, String)].collect()
+        .map { case (repo, text, canon) => (repo, text) -> canon }.toMap
+    val localPath = run() // 6 forms -> local union-find
+    spark.conf.set("spark.graft.maxLocalCCForms", "0")
+    try {
+      val distPath = run() // forced distributed label propagation
+      assert(localPath == distPath)
+    } finally spark.conf.unset("spark.graft.maxLocalCCForms")
+  }
+
   test("canonicalForms blocking key mirrors Text.normLemma") {
     val texts = Seq("Jones", "jones", "armies", "running", "walked", "classes", "dogs", "pass")
     val df = texts.map(t => ("r", t)).toDF("repo", "text")
