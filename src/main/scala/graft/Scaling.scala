@@ -83,6 +83,13 @@ object Scaling {
     val reps = args.lift(3).map(_.toInt).getOrElse(5)
     val nHigh = nLow * 4
 
+    // JIT/codegen warm-up pair at reduced scale, excluded from the stats —
+    // the first pinned run otherwise carries the whole JVM's compilation
+    // cost (measured: a cold local[2] rep runs 1.5-2x slower than warm)
+    runOnce(nLow, math.max(nFiles / 8, 1000L), spf, pinned = true)
+    runOnce(nHigh, math.max(nFiles / 8, 1000L), spf, pinned = true)
+    System.err.println("[scaling] warm-up pair done (excluded)")
+
     val lows = scala.collection.mutable.ArrayBuffer.empty[Run]
     val highs = scala.collection.mutable.ArrayBuffer.empty[Run]
     for (rep <- 1 to reps) {
@@ -104,26 +111,33 @@ object Scaling {
       s"""{"metric":"scaling_efficiency_median","value":$eff,"unit":"ratio","low_cores":$nLow,"high_cores":$nHigh,"reps":$reps,"low_sec":[${lows.map(_.sec).mkString(",")}],"high_sec":[${highs.map(_.sec).mkString(",")}],"pair_eff":[${pairEffs.mkString(",")}],"median_low_tps":$medLow,"median_high_tps":$medHigh,"triples":${lows.head.triples},"n_files":$nFiles,"sents_per_file":$spf,"pinned":true}"""
     println(json)
 
+    // table rows are concatenated AFTER stripMargin — a row's leading '|'
+    // would otherwise be eaten as the margin character
     val sampleRows = lows.zip(highs).zipWithIndex.map { case ((l, h), i) =>
       f"| ${i + 1} | ${l.sec}%.1f | ${h.sec}%.1f | ${l.triplesPerSec}%.0f | ${h.triplesPerSec}%.0f | ${pairEffs(i)}%.3f |"
     }.mkString("\n")
-    val md =
+    val head =
       s"""
-         |## Measured scaling (round 2: pinned repeat-median, graft.Scaling, ${java.time.LocalDate.now()})
+         |## Measured scaling (round 2: pinned repeat-median + warm-up, graft.Scaling, ${java.time.LocalDate.now()})
          |
          |Same job (KG pipeline → triple count), same deterministic input
          |($nFiles files × $spf sentences, ${lows.head.triples} triples), one fresh
          |SparkSession per run, JVM `taskset`-pinned to exactly N CPUs for a
-         |local[N] run, arms interleaved (low, high, ×$reps):
+         |local[N] run, one discarded warm-up pair (JIT), then arms
+         |interleaved (low, high, ×$reps):
          |
-         || rep | local[$nLow] wall (s) | local[$nHigh] wall (s) | low triples/s | high triples/s | pair eff |
-         ||---|---|---|---|---|---|
-         |$sampleRows
+         |""".stripMargin
+    val tableHead =
+      s"| rep | local[$nLow] wall (s) | local[$nHigh] wall (s) | low triples/s | high triples/s | pair eff |\n" +
+      "|---|---|---|---|---|---|\n"
+    val tail =
+      s"""
          |
          |Median throughput: local[$nLow] = ${f"$medLow%.0f"} triples/s,
          |local[$nHigh] = ${f"$medHigh%.0f"} triples/s.
          |**Median scaling efficiency (N→4N) = ${f"$eff%.3f"}** (target ≥ 0.8; perfect = 1.0).
          |""".stripMargin
+    val md = head + tableHead + sampleRows + tail
     val out = Paths.get("BENCH")
     Files.createDirectories(out)
     val f = out.resolve("BASELINE.md")

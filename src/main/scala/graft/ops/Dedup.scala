@@ -66,32 +66,57 @@ object Dedup {
   /** MinHash signatures: one row per doc with `bands` band-hash columns
     * (each band = hash of `rowsPerBand` consecutive minhashes).
     *
-    * Staged so the expensive string work happens ONCE per row: shingling
-    * is materialized as a column, reduced to one int hash per shingle, and
-    * only then fanned out into the 16 affine min-hashes (16 scans of a
-    * small long array, not 16 re-shinglings — Catalyst does not CSE across
-    * projection expressions). */
+    * Computed in a typed mapPartitions: the per-shingle × per-hash loop
+    * is exactly the shape where Catalyst higher-order functions fall out
+    * of codegen (lambdas evaluate interpreted), and the signature needs
+    * ONE pass over the shingle set for all 16 hashes instead of 16
+    * array scans. Seeded and order-independent (min over a distinct
+    * set) — deterministic under any partitioning, unit-tested. */
   def minhashBands(docs: DataFrame, n: Int = 3, bands: Int = 4,
       rowsPerBand: Int = 4, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val hashed = docs
-      .select(col(idCol), shingles(col(textCol), n).as("sh"))
-      .select(col(idCol),
-        transform(col("sh"), g => abs(hash(g).cast("long"))).as("hs"))
-    val mhCols = (0 until numHashes).map { i =>
-      val a = 2 * i + 1
-      val b = 1000003L * (i + 1)
-      array_min(transform(col("hs"), h => pmod(h * a + b, lit(Prime))))
-        .as(s"mh_$i")
-    }
-    val withSig = hashed.select((col(idCol) +: mhCols): _*)
-    val bandCols = (0 until bands).map { b =>
-      val rows = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      hash(rows: _*).as(s"band_$b")
-    }
-    withSig.select((col(idCol) +: bandCols): _*)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val mh = Array.fill(numHashes)(Long.MaxValue)
+          for (g <- shingleSet(text, n)) {
+            val h = math.abs(
+              scala.util.hashing.MurmurHash3.stringHash(g, 42).toLong)
+            var i = 0
+            while (i < numHashes) {
+              val v = (h * (2 * i + 1) + 1000003L * (i + 1)) % Prime
+              if (v < mh(i)) mh(i) = v
+              i += 1
+            }
+          }
+          val bandHashes = Array.tabulate(bands) { b =>
+            var acc = 1125899906842597L // mixing fold over the band's rows
+            var r = 0
+            while (r < rowsPerBand) {
+              acc = acc * 31 + mh(b * rowsPerBand + r)
+              r += 1
+            }
+            acc
+          }
+          (id, bandHashes)
+        }
+      }
+    sig.select((col("_1").as(idCol) +:
+      (0 until bands).map(b => col("_2")(b).as(s"band_$b"))): _*)
   }
+
+  /** Plain-Scala mirror of `shingles` (same distinct word n-grams). */
+  private[ops] def shingleSet(text: String, n: Int): Array[String] =
+    if (text == null) Array.empty
+    else {
+      val words = text.toLowerCase.split("\\s+")
+      if (words.length < n) Array.empty
+      else words.sliding(n).map(_.mkString(" ")).toArray.distinct
+    }
 
   /** LSH candidate pairs: docs sharing ANY band bucket. One shuffle per
     * band (stacked as a union then one groupBy on (band, hash)).
@@ -215,8 +240,13 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Int = 100, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // the inverted index keys on xxhash64(shingle), not the shingle
+    // string: an 8-byte fixed-width join key instead of a ~25-byte UTF8
+    // string shrinks the shuffle and the hash-join probe (64-bit
+    // collisions are negligible against df counts)
     val inv = docs.select(col(idCol),
-      explode(shingles(col(textCol), n)).as("g"))
+      explode(shingles(col(textCol), n)).as("gs"))
+      .select(col(idCol), xxhash64(col("gs")).as("g"))
     val df_ = inv.groupBy("g").agg(count(lit(1)).as("df"))
     val kept = inv.join(df_.filter(col("df") <= maxShingleDf), Seq("g"))
       .select(col(idCol), col("g"))

@@ -21,18 +21,10 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity between an embedding column and a literal query
-    * vector, as a pure Catalyst expression tree. */
-  def cosineToQuery(vec: Column, query: Seq[Float]): Column = {
-    // accumulate in double (float*float would lose precision vs any
-    // double-based oracle)
-    val q = typedlit(query.map(_.toDouble))
-    val dot = aggregate(zip_with(vec, q, (a, b) => a.cast("double") * b),
-      lit(0.0d), (acc, x) => acc + x)
-    val nv = sqrt(aggregate(transform(vec, a => a.cast("double") * a),
-      lit(0.0d), (acc, x) => acc + x))
-    val nq = math.sqrt(query.map(x => x.toDouble * x).sum)
-    dot / (nv * lit(nq))
-  }
+    * vector — the native codegen expression (double accumulation; same
+    * arithmetic as the HOF tree it replaces, so oracle hashes hold). */
+  def cosineToQuery(vec: Column, query: Seq[Float]): Column =
+    CosineSimilarity.cosine_similarity(vec, typedlit(query))
 
   /** Brute-force top-k by cosine to a query vector. */
   def bruteForceTopK(embeddings: DataFrame, query: Seq[Float], k: Int,
@@ -121,18 +113,13 @@ object Similarity {
     bruteForceTopK(probed, query, k, idCol, vecCol)
   }
 
-  /** Double-accumulated cosine between two float-array columns. The
-    * element product is cast BEFORE multiplying — float*float then
-    * widening would lose the low bits a double-based oracle keeps. */
-  private def pairCos(va: Column, vb: Column): Column = {
-    val dot = aggregate(zip_with(va, vb,
-      (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
-    def norm(c: Column) = sqrt(aggregate(
-      transform(c, x => x.cast("double") * x.cast("double")),
-      lit(0.0d), (acc, x) => acc + x))
-    dot / (norm(va) * norm(vb))
-  }
+  /** Double-accumulated cosine between two float-array columns — the
+    * native codegen expression (HOF `aggregate`/`zip_with` evaluate
+    * interpreted; on millions of pair-cosines that is the difference
+    * between 82 s and a few seconds at sf0.1). Arithmetic is identical
+    * to the HOF form, so oracle hashes are unchanged. */
+  private def pairCos(va: Column, vb: Column): Column =
+    CosineSimilarity.cosine_similarity(va, vb)
 
   /** EXACT embedding near-dup pairs: all-pairs cosine >= threshold. The
     * O(n²) verification baseline (and the recall ground truth for the LSH
