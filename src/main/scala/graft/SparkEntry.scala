@@ -35,7 +35,12 @@ object SparkEntry {
   private def triplesFor(spark: SparkSession, dir: String): DataFrame =
     tripleCache.getOrElseUpdate(dir, {
       val (nFiles, spf) = Synth.sizeForSfDir(dir)
-      Triples.fromFiles(spark, Synth.corpus(spark, nFiles, spf)).persist()
+      // compact before caching: the triple frame is a union of 7
+      // subtrees (~200 small partitions) — every follow-up kg_* query
+      // would pay the per-partition scheduling overhead on each scan
+      Triples.fromFiles(spark, Synth.corpus(spark, nFiles, spf))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
     })
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =

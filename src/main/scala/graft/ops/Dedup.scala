@@ -109,14 +109,25 @@ object Dedup {
       (0 until bands).map(b => col("_2")(b).as(s"band_$b"))): _*)
   }
 
-  /** Plain-Scala mirror of `shingles` (same distinct word n-grams). */
+  /** Plain-Scala mirror of `shingles` (same distinct word n-grams; the
+    * -1 split limit keeps trailing empty tokens exactly like Catalyst's
+    * `split` and DuckDB's regexp_split_to_array, so oracle-compared
+    * results stay aligned on whitespace edge cases). */
   private[ops] def shingleSet(text: String, n: Int): Array[String] =
     if (text == null) Array.empty
     else {
-      val words = text.toLowerCase.split("\\s+")
+      val words = text.toLowerCase.split("\\s+", -1)
       if (words.length < n) Array.empty
       else words.sliding(n).map(_.mkString(" ")).toArray.distinct
     }
+
+  /** 64-bit string hash for shingle join keys (two seeded murmur32
+    * halves — collision odds ~2^-64, negligible vs df counts). */
+  private[ops] def hash64(s: String): Long = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, 42)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x5bd1e995)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
 
   /** LSH candidate pairs: docs sharing ANY band bucket. One shuffle per
     * band (stacked as a union then one groupBy on (band, hash)).
@@ -159,7 +170,14 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cand = minhashCandidates(minhashBands(docs, n, bands, rowsPerBand,
       idCol, textCol), bands, maxBucket, idCol)
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    // typed shingling (see ngramJaccardPairs) — the HOF form would be
+    // re-evaluated over the whole corpus for each join side
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, shingleSet(t, n).toSeq) })
+      .toDF(idCol, "sh")
     cand
       .join(sh.select(col(idCol).as("a"), col("sh").as("sha_")), Seq("a"))
       .join(sh.select(col(idCol).as("b"), col("sh").as("shb_")), Seq("b"))
@@ -240,13 +258,22 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Int = 100, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    // the inverted index keys on xxhash64(shingle), not the shingle
+    // the inverted index keys on a 64-bit shingle hash, not the shingle
     // string: an 8-byte fixed-width join key instead of a ~25-byte UTF8
-    // string shrinks the shuffle and the hash-join probe (64-bit
-    // collisions are negligible against df counts)
-    val inv = docs.select(col(idCol),
-      explode(shingles(col(textCol), n)).as("gs"))
-      .select(col(idCol), xxhash64(col("gs")).as("g"))
+    // string shrinks the shuffle and the hash-join probe. Shingling runs
+    // in a typed flatMap — the Catalyst HOF form evaluates interpreted
+    // (~1 ms/doc) and this subtree is evaluated FOUR times through the
+    // self-join DAG (df, kept, and both join sides), which dominated the
+    // whole query (measured 17 s of 18 s at sf0.1). Requires a numeric
+    // id column (the engine's documents contract).
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val inv = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        shingleSet(t, n).map(g => (id, hash64(g)))
+      })
+      .toDF(idCol, "g")
     val df_ = inv.groupBy("g").agg(count(lit(1)).as("df"))
     val kept = inv.join(df_.filter(col("df") <= maxShingleDf), Seq("g"))
       .select(col(idCol), col("g"))
