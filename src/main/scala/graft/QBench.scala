@@ -16,8 +16,12 @@ object QBench {
     val stageTime = TrieMap.empty[Int, Long]
     val stageName = TrieMap.empty[Int, String]
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
-        stageName(s.stageInfo.stageId) = s.stageInfo.name.take(60) + "|" + s.stageInfo.details.split("\n").drop(1).headOption.getOrElse("").take(80)
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
+        val graftSite = s.stageInfo.details.split("\n")
+          .find(_.contains("graft.")).getOrElse("").trim.take(90)
+        stageName(s.stageInfo.stageId) =
+          s.stageInfo.name.take(40) + "|" + graftSite
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null)
           stageTime.updateWith(t.stageId) { v => Some(v.getOrElse(0L) + t.taskMetrics.executorRunTime) }
