@@ -244,6 +244,33 @@ class OpsSpec extends AnyFunSuite {
     assert(fp(2L) == RollingFingerprint.fingerprint("the quick brown fox", 8))
   }
 
+  test("native CosineSimilarity is bit-identical to the HOF formulation") {
+    import graft.ops.CosineSimilarity
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(64)(rng.nextFloat() * 2 - 1),
+        Seq.fill(64)(rng.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "va", "vb")
+    val hof = {
+      // the exact HOF tree the native expression replaced
+      val dot = aggregate(zip_with(col("va"), col("vb"),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, x) => acc + x)
+      def norm(c: org.apache.spark.sql.Column) = sqrt(aggregate(
+        transform(c, x => x.cast("double") * x.cast("double")),
+        lit(0.0d), (acc, x) => acc + x))
+      dot / (norm(col("va")) * norm(col("vb")))
+    }
+    val native = CosineSimilarity.cosine_similarity(col("va"), col("vb"))
+    val diffs = df.select(col("id"), hof.as("h"), native.as("n"))
+      .as[(Long, Double, Double)].collect()
+    // bit-identical, not approximately equal: the DuckDB oracle hashes
+    // 4-dp rounded values, so the arithmetic order must be THE SAME
+    for ((id, h, n) <- diffs)
+      assert(java.lang.Double.doubleToLongBits(h) ==
+        java.lang.Double.doubleToLongBits(n), s"row $id: $h vs $n")
+  }
+
   test("timeline fit: longest-path layering + min-max normalize per doc") {
     import graft.eval.Timeline
     val rels = Seq(
