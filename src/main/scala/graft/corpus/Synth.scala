@@ -129,21 +129,21 @@ object Synth {
     if (rng.nextDouble() < SkewFraction) HotLemma
     else TriggerPool(rng.nextInt(TriggerPool.length))
 
+  /** Pool filtered to entity types admissible for `role`
+    * (Ontology.RoleEntityTypes) — keeps gold args reproducible by the
+    * engine's type-constrained role assigner. */
+  private def poolFor(pool: Vector[(Vector[String], String)],
+      role: String): Vector[(Vector[String], String)] = {
+    val f = pool.filter { case (_, t) => Ontology.compatible(role, t) }
+    if (f.nonEmpty) f else pool
+  }
+
   private def composeClause(rng: Random, offset: Int, negated: Boolean,
       tempRelOnly: Boolean): Clause = {
-    val (subjToks, _) = Subjects(rng.nextInt(Subjects.length))
-    val subjFull = subjToks.mkString(" ")
-    // sometimes use a short coreferent form for PER objects
-    val (objToksFull, _) = Objects(rng.nextInt(Objects.length))
-    val objToks =
-      ShortForms.get(objToksFull.mkString(" ")) match {
-        case Some(sf) if rng.nextDouble() < 0.4 => sf
-        case _ => objToksFull
-      }
-    val usePlace = rng.nextDouble() < 0.5
-    val place = if (usePlace) Some(Places(rng.nextInt(Places.length))) else None
-
+    // role-aware pool selection must not disturb the draw sequence for
+    // tempRelOnly clauses, so draw AFTER the branch for typed clauses
     if (tempRelOnly) {
+      val (subjToks, _) = Subjects(rng.nextInt(Subjects.length))
       // "<subj> <temprelVerbPast>" — an event head BETTER won't type
       val lemma = TempRelVerbPool(rng.nextInt(TempRelVerbPool.length))
       val verb = Ontology.PastForms(lemma)
@@ -155,6 +155,23 @@ object Synth {
     } else {
       val lemma = pickTrigger(rng)
       val (eventType, _) = Ontology.TriggerLexicon(lemma)
+      val (subjRole, objRole) = Ontology.RoleMap(eventType)
+      val locRole = Ontology.locRoleOf(eventType)
+      // pools restricted to role-admissible entity types, mirroring the
+      // engine's type-constrained assigner (Taggers.argumentSpans)
+      val subjPool = poolFor(Subjects, subjRole)
+      val (subjToks, _) = subjPool(rng.nextInt(subjPool.length))
+      val subjFull = subjToks.mkString(" ")
+      // sometimes use a short coreferent form for PER objects
+      val objPool = poolFor(Objects, objRole)
+      val (objToksFull, _) = objPool(rng.nextInt(objPool.length))
+      val objToks =
+        ShortForms.get(objToksFull.mkString(" ")) match {
+          case Some(sf) if rng.nextDouble() < 0.4 => sf
+          case _ => objToksFull
+        }
+      val usePlace = rng.nextDouble() < 0.5
+      val place = if (usePlace) Some(Places(rng.nextInt(Places.length))) else None
       // two negation shapes: a normal cue ("did not <base>", label 1) and
       // an affixal cue ("was unable to <base>", label 0)
       val affixal = negated && rng.nextDouble() < 0.4
@@ -171,13 +188,12 @@ object Synth {
       val trigIdx = offset + trigLocal
       val objStart = offset + afterVerb
       val objEnd = objStart + objToks.length - 1
-      val (subjRole, objRole) = Ontology.RoleMap(eventType)
       val args = Seq(
         Argument(subjRole, subjFull, offset, offset + subjToks.length - 1),
         Argument(objRole, objToks.mkString(" "), objStart, objEnd)) ++
         place.toSeq.map { case (pt, _) =>
           val ps = objEnd + 2 // skip "in"
-          Argument("Place", pt.mkString(" "), ps, ps + pt.length - 1)
+          Argument(locRole, pt.mkString(" "), ps, ps + pt.length - 1)
         }
       val ner = Seq(
         NerSpan(offset, offset + subjToks.length - 1, entTypeOf(subjToks)),

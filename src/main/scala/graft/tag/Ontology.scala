@@ -112,14 +112,24 @@ object Ontology {
     * main.py:152-167). */
   val TempRelOnlyVerbs: Set[String] = Set(
     "say", "announce", "report", "begin", "continue", "end", "happen",
-    "expect", "plan", "decide", "return", "leave")
+    "expect", "plan", "decide", "return", "leave",
+    // "considering" — the speculation demo head (main.py:249-252 input,
+    // speculation rule main.py:226-230). Deliberately NOT in PastForms,
+    // so the synthetic-corpus verb pool (which filters on PastForms) is
+    // unchanged.
+    "consider")
 
   /** Subject / object / place role per event type — the deterministic
     * stand-in for the trigger-type→valid-roles map the reference loads from
     * `all_uw.comb.pkl` (event_pipeline_demo.py:120-140, mask P11c). */
   val RoleMap: Map[String, (String, String)] = Map(
-    // eventType -> (subjectRole, objectRole); Place is valid everywhere
-    "Movement:Transport" -> ("Agent", "Artifact"),
+    // eventType -> (subjectRole, objectRole); the location role (LocRole)
+    // is valid everywhere. Transport binds Artifact on BOTH sides: the
+    // reference's own documented outputs assign Artifact to the moved
+    // entity whether it sits in subject position ("George Pataki toured",
+    // views.py:32-36) or object position ("deploy ... soldiers",
+    // BETTER/joint/README.md:17).
+    "Movement:Transport" -> ("Artifact", "Artifact"),
     "Conflict:Attack" -> ("Attacker", "Target"),
     "Conflict:Demonstrate" -> ("Entity", "Place"),
     "Contact:Meet" -> ("Entity", "Entity"),
@@ -152,6 +162,30 @@ object Ontology {
     "Business:Merge-Org" -> ("Org", "Org"),
     "Business:End-Org" -> ("Agent", "Org"),
     "Business:Declare-Bankruptcy" -> ("Org", "Place"))
+
+  /** Role -> admissible entity types (ACE-style argument-type constraints,
+    * the public ACE2005 annotation-guideline restrictions the reference's
+    * argument model learns implicitly). Roles absent from the table are
+    * unrestricted. Drives both the deterministic role assigner
+    * (Taggers.argumentSpans) and the synthetic-corpus composer, so gold
+    * and engine agree by construction. */
+  val RoleEntityTypes: Map[String, Set[String]] = Map(
+    "Artifact" -> Set("PER", "VEH", "WEA"),
+    "Destination" -> Set("GPE", "LOC", "FAC"),
+    "Origin" -> Set("GPE", "LOC", "FAC"),
+    "Place" -> Set("GPE", "LOC", "FAC"))
+
+  def compatible(role: String, entType: String): Boolean =
+    RoleEntityTypes.get(role).forall(_.contains(entType))
+
+  /** Location role per event type (default "Place"): Transport events
+    * take a Destination (BETTER/joint/README.md:17 — "region" ->
+    * Destination; views.py:37-41 — "counties" -> Destination). */
+  val LocRole: Map[String, String] = Map(
+    "Movement:Transport" -> "Destination")
+
+  def locRoleOf(eventType: String): String =
+    LocRole.getOrElse(eventType, "Place")
 
   /** Entity gazetteer: multi-token phrase -> entity type. Stand-in for the
     * NER tagger weights (bert-large-cased+CRF, event_pipeline_demo.py:142-
@@ -187,6 +221,15 @@ object Ontology {
     Seq("the", "convoy") -> "VEH",
     Seq("a", "rifle") -> "WEA",
     Seq("the", "missile") -> "WEA",
+    // demo-sentence vocabulary (the reference's documented expected
+    // outputs: BETTER/joint/README.md:17 ner + views.py:45-50 ner)
+    Seq("U.S.") -> "GPE",
+    Seq("Army") -> "ORG",
+    Seq("soldiers") -> "PER",
+    Seq("Persian", "Gulf") -> "LOC",
+    Seq("region") -> "LOC",
+    Seq("governor") -> "PER",
+    Seq("counties") -> "GPE",
     // short coreferent forms (canonicalization material) — must be entity
     // positions so the P11b argument mask admits them
     Seq("Pataki") -> "PER",

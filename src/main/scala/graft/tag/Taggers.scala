@@ -136,28 +136,38 @@ object Taggers {
     val ents = ner.filter(s => s.start >= segS && s.end < segE)
     val (subjRole, objRole) =
       Ontology.RoleMap.getOrElse(trigger.eventType, ("Entity", "Entity"))
-    // deterministic role assignment: last entity before the trigger is the
-    // subject; entity right after "in"/"at" is the Place; first remaining
-    // entity after the trigger is the object
-    val subj = ents.filter(_.end < trigger.start).lastOption
-    val isPlace = (s: NerSpan) =>
+    val locRole = Ontology.locRoleOf(trigger.eventType)
+    // deterministic role assignment with ACE-style entity-type constraints
+    // (Ontology.RoleEntityTypes — reproduces the reference's documented
+    // demo outputs, BETTER/joint/README.md:17 + views.py:20-52):
+    //   subject: LAST type-compatible entity before the trigger;
+    //   object:  FIRST type-compatible entity after the trigger that is
+    //            not a preposition-marked location ("in X"/"at X");
+    //   location: LAST {GPE,LOC,FAC} entity after the trigger (excluding
+    //            the chosen object) — the head of a trailing locative NP
+    //            ("the Persian Gulf region" -> "region").
+    val subj = ents.filter(s => s.end < trigger.start &&
+      Ontology.compatible(subjRole, s.label)).lastOption
+    val isPrepLoc = (s: NerSpan) =>
       s.start > 0 && {
         val p = tokens(s.start - 1).toLowerCase
         p == "in" || p == "at"
       }
-    val place = ents.find(s => s.start > trigger.end && isPlace(s))
-    val obj = ents.find(s => s.start > trigger.end && !isPlace(s))
+    val obj = ents.find(s => s.start > trigger.end &&
+      Ontology.compatible(objRole, s.label) && !isPrepLoc(s))
+    val loc = ents.filter(s => s.start > trigger.end &&
+      Ontology.compatible(locRole, s.label) && !obj.contains(s)).lastOption
 
     val wanted: Seq[(NerSpan, String)] =
       subj.map(_ -> subjRole).toSeq ++
         obj.map(_ -> objRole).toSeq ++
-        place.map(_ -> "Place").toSeq
+        loc.map(_ -> locRole).toSeq
 
     // emissions with masks
     val em = Array.fill(n, ArgLabels.length)(0.0)
     val inEntity = Array.fill(n)(false)
     for (s <- ner; i <- s.start to s.end if i < n) inEntity(i) = true
-    val validRoles = Set(subjRole, objRole, "Place")
+    val validRoles = Set(subjRole, objRole, locRole)
     for (i <- 0 until n) {
       if (!inEntity(i)) {
         for (l <- 1 until ArgLabels.length) em(i)(l) = Viterbi.NegInf // P11b

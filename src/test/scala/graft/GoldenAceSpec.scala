@@ -154,6 +154,20 @@ class GoldenAceSpec extends AnyFunSuite {
     checkPR("test_tbd.pred.json", 2000)
   }
 
+  test("engine triples over the dev ACE golden corpus (923 sentences): " +
+      "P/R >= 0.95") {
+    checkPR("dev_ace.pred.json", 1000)
+  }
+
+  test("engine triples over the dev TimeBank golden corpus: P/R >= 0.95") {
+    checkPR("dev_tbd.pred.json", 800)
+  }
+
+  test("engine triples over the train TimeBank golden corpus (4032 " +
+      "sentences): P/R >= 0.95") {
+    checkPR("train_tbd.pred.json", 5000)
+  }
+
   test("lineage: every triple carries the sentence content sha") {
     val ann = Sources.readAnnotationArray(spark, s"$dataDir/test_ace.pred.json")
     val path = "Mu_test_data/test_ace.pred.json"
