@@ -24,13 +24,16 @@ object Bench {
     val nTriples =
       try SparkEntry.queries("kg_triples_by_pred")(spark, sfDir)
         .agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
-      catch { case _: Throwable => -1L }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] kg pipeline failed: $e"); -1L }
     val kgSec = (System.nanoTime() - t0) / 1e9
     val triplesPerSec = if (kgSec > 0 && nTriples > 0) nTriples / kgSec else 0.0
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val s0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $name failed: $e"); -1L }
       name -> (System.nanoTime() - s0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -39,24 +42,62 @@ object Bench {
 
     // approximate ops graded against their exact ground truths:
     // recall@10 of the ANN probe (q18) vs brute force (q14), and pair
-    // recall of the banded LSH near-dup (q26) vs exact all-pairs (q23)
+    // recall of the banded LSH near-dup (q26) vs exact all-pairs (q23).
+    // NonFatal only: an OOM/interrupt must fail the bench run, not be
+    // booked as a silent -1.0 recall
+    import scala.util.control.NonFatal
+    def grade(name: String)(f: => Double): Double =
+      try f catch {
+        case NonFatal(e) =>
+          System.err.println(s"[bench] $name grader failed: $e")
+          -1.0
+      }
     def ids(q: String) = SparkEntry.queries(q)(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     def pairs(q: String) = SparkEntry.queries(q)(spark, sfDir)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val annRecall =
-      try {
-        val bf = ids("q14_knn_bruteforce")
-        ids("q18_ann_topk").intersect(bf).size.toDouble / bf.size
-      } catch { case _: Throwable => -1.0 }
-    val lshRecall =
-      try {
-        val exact = pairs("q23_embed_neardup")
-        if (exact.isEmpty) -1.0
-        else pairs("q26_embed_neardup_lsh").intersect(exact).size.toDouble / exact.size
-      } catch { case _: Throwable => -1.0 }
+    val annRecall = grade("ann_recall_at_10") {
+      val bf = ids("q14_knn_bruteforce")
+      ids("q18_ann_topk").intersect(bf).size.toDouble / bf.size
+    }
+    val lshRecall = grade("lsh_neardup_pair_recall") {
+      val exact = pairs("q23_embed_neardup")
+      if (exact.isEmpty) -1.0
+      else pairs("q26_embed_neardup_lsh").intersect(exact).size.toDouble / exact.size
+    }
+    // contract-regime recall: the LSH near-dup operator's documented
+    // threshold is cos >= 0.95, which the synthetic corpus (max pair cos
+    // ~0.5) never exercises — plant deterministic clones at cos ~0.995
+    // and measure recall of the planted pair set at the 0.95 bar
+    val lshContractRecall = grade("lsh_contract_recall") {
+      import spark.implicits._
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+          org.apache.spark.sql.functions.col("embedding"))
+        .as[(Long, Seq[Float])]
+      val cloneOffset = 1000000000L
+      val clones = base.filter(_._1 % 10 == 0).map { case (id, v) =>
+        val rng = new scala.util.Random(id)
+        val arr = v.toArray
+        val norm = math.sqrt(arr.map(x => x.toDouble * x).sum)
+        val noise = 0.1 * norm / math.sqrt(arr.length.toDouble)
+        (id + cloneOffset,
+          arr.map(x => (x + (rng.nextDouble() * 2 - 1) * noise).toFloat).toSeq)
+      }
+      val planted = base.filter(_._1 % 10 == 0)
+        .map(r => (r._1, r._1 + cloneOffset)).collect().toSet
+      if (planted.isEmpty) -1.0
+      else {
+        val found = graft.ops.Similarity
+          .nearDupPairs(base.union(clones).toDF("vec_id", "embedding"),
+            threshold = 0.95)
+          .select("a", "b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        found.intersect(planted).size.toDouble / planted.size
+      }
+    }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"triples_per_sec":$triplesPerSec,"ann_recall_at_10":$annRecall,"lsh_neardup_pair_recall":$lshRecall}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"triples_per_sec":$triplesPerSec,"ann_recall_at_10":$annRecall,"lsh_neardup_pair_recall":$lshRecall,"lsh_contract_recall":$lshContractRecall}""")
     spark.stop()
   }
 }

@@ -391,6 +391,37 @@ object SparkEntry {
         |FROM pairs JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
         |WHERE common::DOUBLE / (na.nsh + nb.nsh - common) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+    // q12: exact all-pairs simhash Hamming <= 3 — the engine's 4×15-bit
+    // band blocking is pigeonhole-EXACT at maxDist 3, so the banded result
+    // equals this brute-force oracle. The word-hash family is Karp-Rabin
+    // mod 2^61-1 (the q17 trick), reproduced here in HUGEINT.
+    "q12_simhash_neardups" ->
+      """WITH RECURSIVE pw(j, p) AS (
+        |  SELECT 0, 1::HUGEINT
+        |  UNION ALL
+        |  SELECT j + 1, (p * 1000003::HUGEINT) % 2305843009213693951::HUGEINT
+        |  FROM pw WHERE j < 31),
+        |pows AS (SELECT list(p ORDER BY j) AS pl FROM pw),
+        |w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    [CAST(list_sum([unicode(wd[i+1])::HUGEINT * pl[least(length(wd), 32) - i]
+        |                    for i in range(0, least(length(wd), 32))])
+        |          % 2305843009213693951::HUGEINT AS BIGINT)
+        |     for wd in ws] AS hs
+        |  FROM w, pows),
+        |s AS (SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN list_sum([CASE WHEN ((hh >> b) & 1) = 1 THEN 1 ELSE -1 END
+        |                                  for hh in hs]) > 0
+        |              THEN (1::BIGINT << b) ELSE 0 END
+        |              for b in range(0, 60)]) AS BIGINT) AS sig
+        |  FROM h)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
     "q15_langid_dist" ->
       """WITH scored AS (
         |  SELECT doc_id, text,

@@ -193,8 +193,32 @@ object Dedup {
 
   // ---- SimHash ----
 
-  /** 64-bit SimHash per doc: sign-sum of per-word hash bits. Computed in a
-    * typed map (bit loops don't vectorize as Catalyst expressions). */
+  /** SimHash bit width: 60 = 4 bands × 15 bits. The word hash is a
+    * Karp-Rabin polynomial hash mod 2^61-1 (the q17 fingerprint's
+    * family) truncated to the low 60 bits — chosen over murmur3
+    * PRECISELY because DuckDB HUGEINT arithmetic reproduces it exactly,
+    * making the whole signature (and therefore q12) oracle-checkable. */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  private val SimhashBandBits = SimhashBits / SimhashBands // 15
+
+  /** Karp-Rabin word hash mod 2^61-1 over the first 32 chars (UTF-16
+    * units ≡ codepoints for BMP text, matching DuckDB's unicode()). */
+  private[ops] def krWordHash(w: String): Long = {
+    var h = 0L
+    val n = math.min(w.length, 32)
+    var i = 0
+    while (i < n) {
+      h = (RollingFingerprint.mulMod(h, RollingFingerprint.Base) +
+        w.charAt(i)) % RollingFingerprint.Mod
+      i += 1
+    }
+    h
+  }
+
+  /** 60-bit SimHash per doc: sign-sum over per-word-occurrence KR hash
+    * bits. Computed in a typed map (bit loops don't vectorize as Catalyst
+    * expressions). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
@@ -202,33 +226,37 @@ object Dedup {
     docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val counts = new Array[Int](64)
+          val counts = new Array[Int](SimhashBits)
           if (text != null) for (w <- text.toLowerCase.split("\\s+") if w.nonEmpty) {
-            var h = scala.util.hashing.MurmurHash3.stringHash(w, 0x2545F491).toLong & 0xffffffffL
-            h = h * 0x9E3779B97F4A7C15L // spread to 64 bits
+            val h = krWordHash(w)
             var bit = 0
-            while (bit < 64) {
+            while (bit < SimhashBits) {
               if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
               bit += 1
             }
           }
           var sig = 0L
           var bit = 0
-          while (bit < 64) { if (counts(bit) > 0) sig |= (1L << bit); bit += 1 }
+          while (bit < SimhashBits) {
+            if (counts(bit) > 0) sig |= (1L << bit); bit += 1
+          }
           (id, sig)
         }
       }.toDF(idCol, "simhash")
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist` (< 16-bit
-    * bands count): pigeonhole blocking on 4 × 16-bit bands, then exact
-    * Hamming verify via bit_count(xor). */
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxDist` (< band
+    * count): pigeonhole blocking on 4 × 15-bit bands — any pair within
+    * distance 3 agrees on ≥ 1 full band, so the banded result EQUALS the
+    * exact all-pairs result — then exact Hamming verify via
+    * bit_count(xor). */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sig = simhash(docs, idCol, textCol)
-    val banded = (0 until 4).map { b =>
+    val banded = (0 until SimhashBands).map { b =>
       sig.select(lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("bh"),
+        shiftrightunsigned(col("simhash"), b * SimhashBandBits)
+          .bitwiseAND(lit((1L << SimhashBandBits) - 1)).as("bh"),
         col(idCol), col("simhash"))
     }.reduce(_ unionByName _)
     val l = banded.select(col("band"), col("bh"), col(idCol).as("a"),

@@ -72,8 +72,10 @@ object RollingFingerprint {
   }
 
   /** (a*b) mod (2^61-1) without BigInteger: 2^64 ≡ 2^3 (mod 2^61-1), so
-    * fold the 128-bit product hi:lo as (lo mod M) + (hi*8 + lo>>>61). */
-  private def mulMod(a: Long, b: Long): Long = {
+    * fold the 128-bit product hi:lo as (lo mod M) + (hi*8 + lo>>>61).
+    * Shared with Dedup's Karp-Rabin word hash (the oracle-expressible
+    * hash family — DuckDB HUGEINT reproduces it exactly). */
+  private[ops] def mulMod(a: Long, b: Long): Long = {
     val hi = Math.multiplyHigh(a, b)
     val lo = a * b
     var r = (lo & Mod) + ((hi << 3) | (lo >>> 61))

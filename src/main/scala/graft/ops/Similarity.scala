@@ -73,14 +73,24 @@ object Similarity {
     b
   }
 
+  /** Shared default table count for the multi-table LSH surface —
+    * `nearDupPairs`, `lshBuckets` and `lshDroppedBuckets` must agree or
+    * the audit view inspects a different configuration than the
+    * operator it audits. */
+  val DefaultTables = 8
+
   /** Planes needed so the EXPECTED bucket occupancy stays near
     * `targetBucket` rows: 2^planes buckets over n rows. Grows with the
     * corpus (log2), so within-bucket work is corpus-size-independent —
     * the property a fixed nPlanes lacks at 10^12 rows. Floor of 4 keeps
-    * small test corpora non-degenerate. */
+    * small test corpora non-degenerate; ceiling of 31 keeps the sign-bit
+    * signature inside a positive Int (beyond ~5·10^11 rows the expected
+    * bucket size grows linearly instead — widen the bucket id to Long
+    * before raising the cap, or shard the corpus). */
   def adaptivePlanes(n: Long, targetBucket: Long = 256L): Int =
-    math.max(4, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
-      math.log(2.0)).toInt)
+    math.min(31, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt))
 
   /** ANN top-k: probe the query's bucket and all buckets within Hamming
     * distance `probeHamming` (multi-probe LSH), then exact cosine inside
@@ -93,9 +103,13 @@ object Similarity {
     * bucket boundaries miss near-neighbors that differ in 1-2 bits). */
   def annTopK(embeddings: DataFrame, query: Seq[Float], k: Int,
       nPlanes: Int = 0, probeHamming: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", corpusSize: Long = -1L): DataFrame = {
+    // corpusSize lets a query-serving loop precompute the count once
+    // instead of paying a driver-blocking count() per query
     val planes0 = if (nPlanes > 0) nPlanes
-      else adaptivePlanes(embeddings.count(), targetBucket = 64L)
+      else adaptivePlanes(
+        if (corpusSize > 0) corpusSize else embeddings.count(),
+        targetBucket = 64L)
     val dim = query.length
     val planes = hyperplanes(dim, planes0)
     val qb = bucketOf(query.toArray, planes)
@@ -139,11 +153,14 @@ object Similarity {
     * banded multi-table LSH — `nTables` independent hyperplane tables;
     * a pair is a candidate if it shares a bucket in ANY table (recall
     * 1-(1-p^planes)^tables, the same band trick as MinHash) — then exact
-    * cosine verification inside buckets. At a true near-dup threshold
-    * (cos >= 0.95, per-plane agreement p >= 0.9) the defaults give recall
-    * 1-(1-0.9^4)^8 ≈ 0.99997; Bench also reports measured pair recall on
-    * the synthetic corpus whose closest pairs sit at cos ≈ 0.4-0.5 — a
-    * deliberately adversarial regime for sign-LSH (p ≈ 0.63).
+    * cosine verification inside buckets. With P planes per table and T
+    * tables, recall = 1-(1-p^P)^T for per-plane agreement p; at the true
+    * near-dup threshold (cos >= 0.95, p >= 0.9) the 4-plane floor with
+    * T=8 gives ≈ 0.99997 (p^P falls as P grows with the corpus — raise T
+    * to compensate at extreme scale). Bench reports measured pair recall
+    * in BOTH regimes: planted cos≥0.95 clones (the operator's contract)
+    * and the synthetic corpus whose closest pairs sit at cos ≈ 0.4-0.5 —
+    * a deliberately adversarial regime for sign-LSH (p ≈ 0.63).
     *
     * `nPlanes <= 0` → adaptive: planes grow log2 with the corpus so
     * expected bucket size stays constant (a fixed 6 planes = 64 buckets
@@ -152,54 +169,66 @@ object Similarity {
     * larger than the cap are dropped from pairing — count them with
     * `lshDroppedBuckets` on the same frame, no silent truncation. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
-      nPlanes: Int = 0, nTables: Int = 8, maxBucket: Int = 1000,
+      nPlanes: Int = 0, nTables: Int = DefaultTables, maxBucket: Int = 1000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = lshBuckets(embeddings, nPlanes, nTables, idCol, vecCol)
     val sizes = bucketed.groupBy("table", "bucket")
       .agg(count(lit(1)).as("bsz"))
     val kept = bucketed.join(sizes.filter(col("bsz") <= maxBucket),
       Seq("table", "bucket"))
-    val l = kept.select(col("table"), col("bucket"), col(idCol).as("a"),
+    val l = kept.select(col("table"), col("bucket"), col(idCol).as("a"))
+    val r = kept.select(col("table"), col("bucket"), col(idCol).as("b"))
+    // dedup candidates on (a,b) BEFORE verification (same shape as
+    // Dedup.minhashCandidates): a pair sharing buckets in k of the
+    // nTables tables pays ONE cosine, and the vectors join in once by id
+    // instead of riding the bucket shuffle ×nTables
+    val cand = l.join(r, Seq("table", "bucket")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val va = embeddings.select(col(idCol).cast("long").as("a"),
       col(vecCol).as("va"))
-    val r = kept.select(col("table"), col("bucket"), col(idCol).as("b"),
+    val vb = embeddings.select(col(idCol).cast("long").as("b"),
       col(vecCol).as("vb"))
-    l.join(r, Seq("table", "bucket")).filter(col("a") < col("b"))
+    cand.join(va, Seq("a")).join(vb, Seq("b"))
       .select(col("a"), col("b"),
         round(pairCos(col("va"), col("vb")), 4).as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct()
   }
 
-  /** One row per (table, row): the multi-table LSH bucket assignment
-    * shared by `nearDupPairs` and `lshDroppedBuckets`. */
-  def lshBuckets(embeddings: DataFrame, nPlanes: Int = 0, nTables: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** One row per (table, row): the multi-table LSH bucket id assignment
+    * (ids only — verification joins vectors back by id) shared by
+    * `nearDupPairs` and `lshDroppedBuckets`. `corpusSize`/`dim` let a
+    * caller that already knows them skip the count()/first() jobs. */
+  def lshBuckets(embeddings: DataFrame, nPlanes: Int = 0,
+      nTables: Int = DefaultTables, idCol: String = "vec_id",
+      vecCol: String = "embedding", corpusSize: Long = -1L,
+      dim: Int = -1): DataFrame = {
     val planes0 = if (nPlanes > 0) nPlanes
-      else adaptivePlanes(embeddings.count())
+      else adaptivePlanes(if (corpusSize > 0) corpusSize
+        else embeddings.count())
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val dim = embeddings.select(size(col(vecCol))).first().getInt(0)
+    val dim0 = if (dim > 0) dim
+      else embeddings.select(size(col(vecCol))).first().getInt(0)
     val tables = (0 until nTables)
-      .map(t => hyperplanes(dim, planes0, seed = 42L + t)).toArray
+      .map(t => hyperplanes(dim0, planes0, seed = 42L + t)).toArray
     val bc = spark.sparkContext.broadcast(tables)
-    // the vector rides along in the flatMap output (narrow) — joining it
-    // back by id would cost a shuffle of the whole embedding table
     embeddings.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])]
       .mapPartitions { it =>
         val ts = bc.value
         it.flatMap { case (id, v) =>
           val arr = v.toArray
-          ts.indices.map(t => (t, bucketOf(arr, ts(t)), id, v))
+          ts.indices.map(t => (t, bucketOf(arr, ts(t)), id))
         }
-      }.toDF("table", "bucket", idCol, vecCol)
+      }.toDF("table", "bucket", idCol)
   }
 
   /** Buckets the `maxBucket` cap would drop, with sizes — the audit view
-    * of nearDupPairs' truncation. */
+    * of nearDupPairs' truncation (same DefaultTables, so it audits the
+    * configuration nearDupPairs actually runs). */
   def lshDroppedBuckets(embeddings: DataFrame, nPlanes: Int = 0,
-      nTables: Int = 4, maxBucket: Int = 1000, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
+      nTables: Int = DefaultTables, maxBucket: Int = 1000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     lshBuckets(embeddings, nPlanes, nTables, idCol, vecCol)
       .groupBy("table", "bucket").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket)

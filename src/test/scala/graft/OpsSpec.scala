@@ -186,10 +186,19 @@ class OpsSpec extends AnyFunSuite {
     // every LSH pair is a true pair (verification is exact within buckets)
     val exactSet = exact.map(p => (p._1, p._2)).toSet
     assert(lsh.forall(p => exactSet.contains((p._1, p._2))))
-    // adaptive planes: bucket count grows log2 with corpus size
+    // dedup-before-verify: each pair appears ONCE even when it shares
+    // buckets in several tables, and its cosine equals the exact one
+    val lshList = Similarity.nearDupPairs(emb, threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+    assert(lshList.map(p => (p._1, p._2)).distinct.length == lshList.length)
+    val exactCos = exact.map(p => (p._1, p._2) -> p._3).toMap
+    assert(lshList.forall(p => exactCos((p._1, p._2)) == p._3))
+    // adaptive planes: bucket count grows log2 with corpus size, clamped
+    // to 31 (Int sign-bit safety for the bucket id)
     assert(Similarity.adaptivePlanes(500L) == 4) // floor
     assert(Similarity.adaptivePlanes(1L << 20, 256L) == 12)
     assert(Similarity.adaptivePlanes(1L << 30, 256L) == 22)
+    assert(Similarity.adaptivePlanes(Long.MaxValue, 64L) == 31) // clamp
   }
 
   test("langId: heuristic recovers majority of driver-labelled languages") {
