@@ -79,6 +79,21 @@ object SparkEntry {
           round(avg(col("t")), 4).as("mean_t"))
         .orderBy("doc")),
 
+    // the relational back half of the KG pipeline (assembly → linking →
+    // canonicalization → materialization, J2/U1/A6/triple-emit) replayed
+    // over the reference's OWN golden annotation snapshot
+    // (component/Duration/Mu_test_data/test_ace.pred.json, 832 sentences
+    // annotated by the reference EventPlus pipeline) — hash-checked: the
+    // DuckDB oracle re-derives the same triples in pure SQL, including a
+    // recursive-CTE connected-components for the canonicalization.
+    "kg_from_annotations" -> ((s, dir) => {
+      val path = "Mu_test_data/test_ace.pred.json"
+      val ann = graft.sources.Sources.readAnnotationArray(s,
+        s"/root/reference/component/Duration/$path")
+      Triples.emit(s, Pipeline.fromAnnotations(s, ann, "eventplus", path))
+        .select("subj", "pred", "obj").orderBy("subj", "pred", "obj")
+    }),
+
     // ---- relational operators with DuckDB oracles ----
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -265,6 +280,79 @@ object SparkEntry {
     * (KG pipeline, LSH/minhash/simhash signatures, custom expression,
     * synthetic media) → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    // kg_from_annotations: full SQL re-derivation of the KG relational
+    // back half over the reference golden snapshot — JSON explode, P5
+    // assembly, A6 canonicalization (blocking + containment edges +
+    // recursive-CTE connected components + longest-form canonical), J5
+    // rewrite, sameAs blocking. The irregular-lemma VALUES list mirrors
+    // Ontology.SurfaceToLemma; the suffix CASE chains mirror
+    // Text.normLemma.
+    "kg_from_annotations" ->
+      """WITH RECURSIVE
+        |irr(surface, lemma) AS (VALUES ('toured','tour'), ('traveled','travel'), ('deployed','deploy'), ('arrived','arrive'), ('attacked','attack'), ('bombed','bomb'), ('invaded','invade'), ('protested','protest'), ('marched','march'), ('met','meet'), ('visited','visit'), ('called','call'), ('wrote','write'), ('acquitted','acquit'), ('appealed','appeal'), ('arrested','arrest'), ('jailed','jail'), ('indicted','indict'), ('charged','charge'), ('convicted','convict'), ('executed','execute'), ('extradited','extradite'), ('fined','fine'), ('pardoned','pardon'), ('paroled','parole'), ('sentenced','sentence'), ('sued','sue'), ('testified','testify'), ('died','die'), ('perished','perish'), ('divorced','divorce'), ('injured','injure'), ('wounded','wound'), ('married','marry'), ('wed','wed'), ('elected','elect'), ('resigned','resign'), ('retired','retire'), ('nominated','nominate'), ('appointed','appoint'), ('hired','hire'), ('paid','pay'), ('donated','donate'), ('bought','buy'), ('sold','sell'), ('acquired','acquire'), ('founded','found'), ('merged','merge'), ('dissolved','dissolve'), ('said','say'), ('announced','announce'), ('reported','report'), ('began','begin'), ('continued','continue'), ('ended','end'), ('happened','happen'), ('expected','expect'), ('planned','plan'), ('decided','decide'), ('returned','return'), ('left','leave')),
+        |f AS (SELECT json(content) AS j FROM read_text('/root/reference/component/Duration/Mu_test_data/test_ace.pred.json')),
+        |recs AS (SELECT unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx,
+        |                unnest(json_extract(j, '$[*]')) AS rec FROM f),
+        |sk AS (SELECT rec_idx,
+        |         'eventplus/Mu_test_data/test_ace.pred.json#L0:S' || rec_idx AS sentKey,
+        |         CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens,
+        |         rec->'$.events' AS events, rec->'$.ner' AS ner FROM recs),
+        |ev0 AS (SELECT sentKey, unnest(CAST(events AS JSON[])) AS ev FROM sk),
+        |etr AS (SELECT sentKey,
+        |         sentKey || ':T' || CAST(trig->>'$.start_token' AS BIGINT) AS eventId,
+        |         COALESCE(ev->>'$.event_type','') AS etype,
+        |         lower(COALESCE(trig->>'$.text','')) AS lt,
+        |         ev
+        |        FROM (SELECT sentKey, ev, unnest(CAST(ev->'$.triggers' AS JSON[])) AS trig FROM ev0)),
+        |hasType AS (SELECT eventId AS subj, 'hasType' AS pred, etype AS obj FROM etr WHERE etype <> ''),
+        |ners AS (SELECT sentKey, tokens, unnest(CAST(ner AS JSON[])) AS n FROM sk),
+        |hasEnt AS (SELECT 'eventplus/Mu_test_data/test_ace.pred.json' AS subj, 'hasEntity' AS pred,
+        |   (n->>'$[2]') || ':' ||
+        |   array_to_string(tokens[CAST(n->>'$[0]' AS INT)+1 : CAST(n->>'$[1]' AS INT)+1], ' ') AS obj
+        |   FROM ners),
+        |argm AS (SELECT eventId, COALESCE(a->>'$.role','') AS role, COALESCE(a->>'$.text','') AS atext
+        |         FROM (SELECT eventId, unnest(CAST(ev->'$.arguments' AS JSON[])) AS a FROM etr)),
+        |forms AS (SELECT DISTINCT atext AS text FROM argm),
+        |fb AS (SELECT text, (CASE WHEN length(last0)>4 AND last0 LIKE '%ies' THEN substr(last0,1,length(last0)-3)||'y'
+        |     WHEN length(last0)>4 AND last0 LIKE '%ing' THEN substr(last0,1,length(last0)-3)
+        |     WHEN length(last0)>3 AND last0 LIKE '%ed' THEN substr(last0,1,length(last0)-2)
+        |     WHEN length(last0)>3 AND last0 LIKE '%es' THEN substr(last0,1,length(last0)-2)
+        |     WHEN length(last0)>3 AND last0 LIKE '%s' AND NOT last0 LIKE '%ss' THEN substr(last0,1,length(last0)-1)
+        |     ELSE last0 END) AS block FROM
+        |        (SELECT text, regexp_replace(lower(list_extract(str_split(text,' '), len(str_split(text,' ')))), '''s$','') AS last0 FROM forms)),
+        |prs AS (SELECT a.text AS ta, b.text AS tb
+        |  FROM fb a JOIN fb b ON a.block = b.block AND a.text < b.text
+        |  WHERE len(list_filter(list_distinct(str_split(a.text,' ')), x -> list_contains(str_split(b.text,' '), x)))
+        |        = least(len(str_split(a.text,' ')), len(str_split(b.text,' ')))),
+        |edges2 AS (SELECT ta AS src, tb AS dst FROM prs UNION ALL SELECT tb, ta FROM prs),
+        |reach(vid, lbl) AS (
+        |  SELECT text, text FROM forms
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges2 e ON e.src = r.vid),
+        |comp AS (SELECT vid, min(lbl) AS comp FROM reach GROUP BY vid),
+        |canon AS (SELECT comp, text AS canonical FROM (
+        |  SELECT f2.text, c.comp,
+        |    row_number() OVER (PARTITION BY c.comp ORDER BY length(f2.text) DESC, f2.text) AS rn
+        |  FROM forms f2 JOIN comp c ON c.vid = f2.text) WHERE rn = 1),
+        |cmap AS (SELECT c.vid AS text, cn.canonical FROM comp c JOIN canon cn USING (comp)),
+        |argT AS (SELECT m.eventId AS subj, m.role AS pred, cm.canonical AS obj
+        |  FROM argm m JOIN cmap cm ON cm.text = m.atext),
+        |tevl AS (SELECT eventId, etype,
+        |    COALESCE(i.lemma, (CASE WHEN length(lt2)>4 AND lt2 LIKE '%ies' THEN substr(lt2,1,length(lt2)-3)||'y'
+        |     WHEN length(lt2)>4 AND lt2 LIKE '%ing' THEN substr(lt2,1,length(lt2)-3)
+        |     WHEN length(lt2)>3 AND lt2 LIKE '%ed' THEN substr(lt2,1,length(lt2)-2)
+        |     WHEN length(lt2)>3 AND lt2 LIKE '%es' THEN substr(lt2,1,length(lt2)-2)
+        |     WHEN length(lt2)>3 AND lt2 LIKE '%s' AND NOT lt2 LIKE '%ss' THEN substr(lt2,1,length(lt2)-1)
+        |     ELSE lt2 END)) AS lemma
+        |  FROM (SELECT eventId, etype, lt, regexp_replace(lt, '''s$','') AS lt2 FROM etr WHERE etype <> '') t
+        |  LEFT JOIN irr i ON i.surface = t.lt),
+        |sameCanon AS (SELECT lemma, etype, min(eventId) AS canonicalId FROM tevl GROUP BY 1,2),
+        |sameAs AS (SELECT t.eventId AS subj, 'sameAs' AS pred, s.canonicalId AS obj
+        |  FROM tevl t JOIN sameCanon s USING (lemma, etype) WHERE t.eventId <> s.canonicalId)
+        |SELECT subj, pred, obj FROM (
+        |  SELECT * FROM hasType UNION ALL SELECT * FROM argT
+        |  UNION ALL SELECT * FROM hasEnt UNION ALL SELECT * FROM sameAs)
+        |ORDER BY subj, pred, obj""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
