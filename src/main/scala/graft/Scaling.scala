@@ -34,16 +34,24 @@ object Scaling {
     def sentencesPerSec: Double = sentences / sec
   }
 
+  /** CPU count seen before any pinning — the unpin mask is derived from
+    * this, not from a hardcoded topology. */
+  private val allCpus: Int = Runtime.getRuntime.availableProcessors()
+
   /** Pin ALL threads of this JVM to the given CPU list ("0-7"). New
     * threads (each run builds a fresh SparkSession and pools) inherit
     * the creator's mask, so pinning before session creation covers the
-    * executors too. */
+    * executors too. A non-zero taskset exit code is surfaced instead of
+    * silently measuring an unpinned (or stale-pinned) JVM. */
   def pin(cpus: String): Unit = {
     val pid = ProcessHandle.current().pid().toString
     val p = new ProcessBuilder("taskset", "-apc", cpus, pid)
       .redirectErrorStream(true).start()
     p.getInputStream.readAllBytes() // drain
-    p.waitFor()
+    val rc = p.waitFor()
+    if (rc != 0)
+      System.err.println(s"[scaling] WARNING: taskset -apc $cpus exited " +
+        s"$rc — JVM affinity may not match the claimed parallelism")
   }
 
   def runOnce(cores: Int, nFiles: Long, spf: Int, pinned: Boolean): Run = {
@@ -99,7 +107,7 @@ object Scaling {
       System.err.println(f"[scaling] rep $rep: local[$nLow]=${l.sec}%.1fs " +
         f"local[$nHigh]=${h.sec}%.1fs pairEff=${h.triplesPerSec / (4 * l.triplesPerSec)}%.3f")
     }
-    pin("0-31") // unpin
+    pin(s"0-${allCpus - 1}") // unpin: full CPU list captured at startup
 
     val medLow = median(lows.map(_.triplesPerSec).toSeq)
     val medHigh = median(highs.map(_.triplesPerSec).toSeq)

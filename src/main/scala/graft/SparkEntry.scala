@@ -35,12 +35,12 @@ object SparkEntry {
   private def triplesFor(spark: SparkSession, dir: String): DataFrame =
     tripleCache.getOrElseUpdate(dir, {
       val (nFiles, spf) = Synth.sizeForSfDir(dir)
-      // compact before caching: the triple frame is a union of 7
-      // subtrees (~200 small partitions) — every follow-up kg_* query
-      // would pay the per-partition scheduling overhead on each scan
-      Triples.fromFiles(spark, Synth.corpus(spark, nFiles, spf))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist()
+      // committed emit: compacts the 7-subtree union to defaultParallelism
+      // partitions, persists + materializes the cache eagerly, and
+      // unpersists every pipeline intermediate — follow-up kg_* queries
+      // scan a warm compact cache with no leftover executor storage
+      Triples.fromFilesCommitted(spark, Synth.corpus(spark, nFiles, spf),
+        numPartitions = spark.sparkContext.defaultParallelism)
     })
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =

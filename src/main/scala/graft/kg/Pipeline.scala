@@ -289,7 +289,12 @@ object Pipeline {
   case class Annotated(
       tagged: Dataset[TaggedSentence],
       events: DataFrame, // EventRow + duration + speculation
-      relations: DataFrame) // sentKey, lAligned, rAligned, label
+      relations: DataFrame, // sentKey, lAligned, rAligned, label
+      // every frame persist()ed while building this Annotated — a
+      // long-lived session (Bench/serving) unpersists them once the
+      // downstream triple frame is materialized, instead of accumulating
+      // cached partitions per emit (Triples.emitCommitted does this)
+      caches: Seq[DataFrame] = Seq.empty)
 
   def annotate(spark: SparkSession, files: Dataset[SourceFile]): Annotated = {
     // range partitioning by (repo, path) — the north-rule ingest layout:
@@ -307,7 +312,8 @@ object Pipeline {
     // a cold cache makes each of them re-run the tagging DAG
     tagged.count()
     raw.unpersist()
-    annotateFrom(spark, sents, tagged)
+    val ann = annotateFrom(spark, sents, tagged)
+    ann.copy(caches = ann.caches ++ Seq(sents.toDF(), tagged.toDF()))
   }
 
   /** The relational core of the DAG, from committed sentence/tag stages
@@ -331,7 +337,8 @@ object Pipeline {
     allEvents.count() // fill the cache before the two consumers race
     val durs = durations(spark, allEvents)
     val enriched = enrich(spark, allEvents, durs, tagged)
-    Annotated(tagged, enriched, rels)
+    Annotated(tagged, enriched, rels,
+      caches = Seq(heads, aligned, allEvents.toDF()))
   }
 
   /** Ingest reference-format annotation records (Sources.annotationSchema,
@@ -412,7 +419,7 @@ object Pipeline {
 
     val relations = spark.emptyDataset[(String, Int, Int, String)]
       .toDF("sentKey", "lAligned", "rAligned", "label")
-    Annotated(tagged, events, relations)
+    Annotated(tagged, events, relations, caches = Seq(base.toDF()))
   }
 
   /** Checkpoint-resumable end-to-end run (north rule): every stage commits

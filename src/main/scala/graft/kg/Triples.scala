@@ -21,8 +21,32 @@ object Triples {
 
   /** Emit all triples from an annotated corpus. `events` is the enriched
     * EventRow frame (with duration + speculation); `relations` is the
-    * aligned relation frame. */
-  def emit(spark: SparkSession, ann: Pipeline.Annotated): DataFrame = {
+    * aligned relation frame. The returned frame is LAZY and depends on
+    * caches persisted here and in Pipeline — short-lived sessions can
+    * consume it directly; long-lived sessions should use `emitCommitted`,
+    * which materializes the result and releases every intermediate
+    * cache. */
+  def emit(spark: SparkSession, ann: Pipeline.Annotated): DataFrame =
+    emitWithCaches(spark, ann)._1
+
+  /** Materialized emit for long-lived sessions: persists the triple frame,
+    * fills the cache, then unpersists every intermediate cache (this
+    * emit's events/formMap/blockCanon AND the Annotated stage caches) so
+    * repeated pipeline runs don't accumulate executor storage.
+    * `numPartitions > 0` compacts the union (many small partitions) before
+    * caching. */
+  def emitCommitted(spark: SparkSession, ann: Pipeline.Annotated,
+      numPartitions: Int = 0): DataFrame = {
+    val (out, caches) = emitWithCaches(spark, ann)
+    val compacted = if (numPartitions > 0) out.repartition(numPartitions) else out
+    val cached = compacted.persist()
+    cached.count()
+    (caches ++ ann.caches).foreach(_.unpersist())
+    cached
+  }
+
+  private def emitWithCaches(spark: SparkSession,
+      ann: Pipeline.Annotated): (DataFrame, Seq[DataFrame]) = {
     val events = ann.events.persist()
     // materialize the cache NOW: the canonicalization loop and the two
     // broadcast builds below otherwise race to each recompute the whole
@@ -109,12 +133,18 @@ object Triples {
       .select(Seq(col("eventId").as("subj"), lit("sameAs").as("pred"),
         col("canonicalId").as("obj")) ++ lineage: _*)
 
-    hasType.unionByName(argTriples).unionByName(durTriples)
+    val union = hasType.unionByName(argTriples).unionByName(durTriples)
       .unionByName(specTriples).unionByName(relTriples)
       .unionByName(entTriples).unionByName(sameAs)
+    (union, Seq(events, formMap, blockCanon))
   }
 
-  /** End-to-end: source files → triples. */
+  /** End-to-end: source files → triples (lazy; see emit). */
   def fromFiles(spark: SparkSession, files: Dataset[SourceFile]): DataFrame =
     emit(spark, Pipeline.annotate(spark, files))
+
+  /** End-to-end, materialized, intermediates released (see emitCommitted). */
+  def fromFilesCommitted(spark: SparkSession, files: Dataset[SourceFile],
+      numPartitions: Int = 0): DataFrame =
+    emitCommitted(spark, Pipeline.annotate(spark, files), numPartitions)
 }
