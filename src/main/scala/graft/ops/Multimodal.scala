@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * iterator of batches, never one row at a time, so per-batch setup such as
   * a decoder context is amortized).
   *
-  * The actual codec work is STUBBED with deterministic fakes — the image /
-  * audio libraries are not in this container — but everything Spark-side is
-  * real and tested: the schema, the binary column plumbing, the batch
-  * shape, the partitioning, and the feature-column contract downstream
-  * consumers (Similarity.bruteForceTopK) rely on.
+  * The IMAGE path is real end-to-end: payloads are actual binary PPM (P6)
+  * files (BMP also accepted), decoded to pixels by ImageCodec, with
+  * features extracted from a luminance histogram and resize operating on
+  * decoded pixels. The AUDIO/VIDEO codec work remains STUBBED with
+  * deterministic fakes — those codec libraries are not in this container —
+  * but everything Spark-side is real and tested: the schema, the binary
+  * column plumbing, the batch shape, the partitioning, and the
+  * feature-column contract downstream consumers rely on.
   */
 object Multimodal {
 
@@ -28,34 +31,70 @@ object Multimodal {
   case class Frame(media_id: Long, frame_idx: Int, payload: Array[Byte])
 
   /** Deterministic synthetic media table (seeded per id): payload bytes are
-    * a pure function of the id; kind cycles image/audio/video. */
+    * a pure function of the id; kind cycles image/audio/video. Image rows
+    * carry a REAL binary PPM whose pixels are a deterministic gradient +
+    * noise pattern — the decode path exercises an actual codec. */
   def syntheticMedia(spark: SparkSession, n: Long): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       val kind = Seq("image", "audio", "video")((i % 3).toInt)
       val rng = new scala.util.Random(i * 2654435761L + 17)
-      val size = 256 + rng.nextInt(768)
-      val payload = Array.fill(size)(rng.nextInt(256).toByte)
-      val meta = kind match {
-        case "image" => MediaMeta(64 + rng.nextInt(192), 64 + rng.nextInt(192), 3, 0, 0)
-        case "audio" => MediaMeta(0, 0, 1, 16000, 500 + rng.nextInt(4500))
-        case _ => MediaMeta(128, 96, 3, 0, 1000 + rng.nextInt(9000))
+      kind match {
+        case "image" =>
+          val w = 16 + rng.nextInt(48)
+          val h = 16 + rng.nextInt(48)
+          val rgb = new Array[Byte](w * h * 3)
+          var p = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              rgb(p) = ((x * 255 / w + rng.nextInt(32)) & 0xff).toByte
+              rgb(p + 1) = ((y * 255 / h + rng.nextInt(32)) & 0xff).toByte
+              rgb(p + 2) = (((x + y) * 128 / (w + h)) & 0xff).toByte
+              p += 3; x += 1
+            }
+            y += 1
+          }
+          MediaRow(i, kind, ImageCodec.encodePpm(w, h, rgb),
+            MediaMeta(w, h, 3, 0, 0))
+        case "audio" =>
+          val size = 256 + rng.nextInt(768)
+          MediaRow(i, kind, Array.fill(size)(rng.nextInt(256).toByte),
+            MediaMeta(0, 0, 1, 16000, 500 + rng.nextInt(4500)))
+        case _ =>
+          val size = 256 + rng.nextInt(768)
+          MediaRow(i, kind, Array.fill(size)(rng.nextInt(256).toByte),
+            MediaMeta(128, 96, 3, 0, 1000 + rng.nextInt(9000)))
       }
-      MediaRow(i, kind, payload, meta)
     }
   }
 
-  /** ===== STUB ===== Deterministic fake "decode + feature extraction":
-    * a 16-bin byte histogram, L1-normalized. A real deployment swaps ONLY
-    * the body of `fakeDecodeFeatures` for a codec call (JNI/arrow batch);
+  /** ===== STUB (audio/video only) ===== Deterministic fake "decode +
+    * feature extraction": a 16-bin byte histogram, L1-normalized. A real
+    * deployment swaps ONLY this body for a codec call (JNI/arrow batch);
     * the operator contract (batched iterator in, feature rows out) is the
-    * real, load-bearing part. */
+    * real, load-bearing part. Image rows never reach this — they decode
+    * for real via ImageCodec. */
   def fakeDecodeFeatures(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Int](16)
     for (b <- payload) bins((b & 0xff) >> 4) += 1
     val total = math.max(1, payload.length)
     bins.map(_.toFloat / total)
   }
+
+  /** Feature vector per row: images DECODE (PPM/BMP → pixels → 16-bin
+    * luminance histogram); audio/video fall through to the declared stub.
+    * An image payload that fails to decode also falls through — the
+    * operator never throws on malformed media (quarantine-adjacent
+    * behavior). */
+  def decodeFeatures(kind: String, payload: Array[Byte]): Array[Float] =
+    if (kind == "image")
+      ImageCodec.decode(payload) match {
+        case Some((_, _, rgb)) => ImageCodec.luminanceHistogram(rgb)
+        case None => fakeDecodeFeatures(payload)
+      }
+    else fakeDecodeFeatures(payload)
 
   val BatchSize = 64
 
@@ -68,27 +107,37 @@ object Multimodal {
       it.grouped(BatchSize).flatMap { batch =>
         // per-batch decoder setup would happen here (amortized)
         batch.iterator.map { m =>
-          MediaFeatures(m.media_id, m.kind, fakeDecodeFeatures(m.payload).toSeq)
+          MediaFeatures(m.media_id, m.kind,
+            decodeFeatures(m.kind, m.payload).toSeq)
         }
       }
     }
   }
 
-  /** ===== STUB ===== "Resize": real implementations re-encode the payload;
-    * the fake scales metadata deterministically and truncates the payload
-    * proportionally, preserving the schema contract. */
+  /** Resize: REAL for decodable images — decode, nearest-neighbor resample
+    * to fit `maxSide`, re-encode as PPM, update metadata. Undecodable
+    * image payloads keep the old deterministic truncation fallback (the
+    * schema contract either way). */
   def resizeImages(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { m =>
       if (m.kind != "image" || math.max(m.meta.width, m.meta.height) <= maxSide) m
-      else {
-        val scale = maxSide.toDouble / math.max(m.meta.width, m.meta.height)
-        val nw = math.max(1, (m.meta.width * scale).toInt)
-        val nh = math.max(1, (m.meta.height * scale).toInt)
-        val keep = math.max(1, (m.payload.length * scale * scale).toInt)
-        m.copy(payload = m.payload.take(keep),
-          meta = m.meta.copy(width = nw, height = nh))
+      else ImageCodec.decode(m.payload) match {
+        case Some((w, h, rgb)) =>
+          val scale = maxSide.toDouble / math.max(w, h)
+          val nw = math.max(1, (w * scale).toInt)
+          val nh = math.max(1, (h * scale).toInt)
+          val out = ImageCodec.resizeNearest(w, h, rgb, nw, nh)
+          m.copy(payload = ImageCodec.encodePpm(nw, nh, out),
+            meta = m.meta.copy(width = nw, height = nh))
+        case None =>
+          val scale = maxSide.toDouble / math.max(m.meta.width, m.meta.height)
+          val nw = math.max(1, (m.meta.width * scale).toInt)
+          val nh = math.max(1, (m.meta.height * scale).toInt)
+          val keep = math.max(1, (m.payload.length * scale * scale).toInt)
+          m.copy(payload = m.payload.take(keep),
+            meta = m.meta.copy(width = nw, height = nh))
       }
     }
   }

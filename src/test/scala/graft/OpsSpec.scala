@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, RollingFingerprint, Similarity, TextAnalysis}
+import graft.ops.{Dedup, ImageCodec, Multimodal, RollingFingerprint, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard / embedding-cosine), ANN similarity search, text
@@ -305,6 +305,57 @@ class OpsSpec extends AnyFunSuite {
     val tc = Timeline.fitDocTimelines(spark, cyc)
       .as[(String, String, Double)].collect()
     assert(tc.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
+  test("image codec: PPM roundtrip, BMP decode, real resize") {
+    // 3x2 test image, distinct pixels
+    val rgb = Array[Byte](
+      10, 20, 30, 40, 50, 60, 70, 80, 90,
+      -1, 0, 1, 100, -100, 50, 0, 0, -1)
+    val ppm = ImageCodec.encodePpm(3, 2, rgb)
+    assert(ImageCodec.decode(ppm).exists { case (w, h, px) =>
+      w == 3 && h == 2 && px.sameElements(rgb) })
+    // BMP of the same pixels decodes to the identical RGB layout
+    // (exercises BGR order, bottom-up rows, 4-byte row padding: 3px*3B=9
+    // pads to 12)
+    val bmp = ImageCodec.encodeBmp(3, 2, rgb)
+    assert(ImageCodec.decode(bmp).exists { case (w, h, px) =>
+      w == 3 && h == 2 && px.sameElements(rgb) })
+    // comment in PPM header is honored
+    val withComment = ("P6\n# a comment\n3 2\n255\n".getBytes("US-ASCII") ++ rgb)
+    assert(ImageCodec.decode(withComment).exists(_._3.sameElements(rgb)))
+    // garbage stays undecodable, never throws
+    assert(ImageCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(ImageCodec.decode("BMxx".getBytes).isEmpty)
+    // real resize: downsample 4x4 -> 2x2 picks nearest source pixels
+    val big = Array.tabulate(4 * 4 * 3)(i => (i * 5).toByte)
+    val small = ImageCodec.resizeNearest(4, 4, big, 2, 2)
+    assert(small.length == 2 * 2 * 3)
+    assert(small.slice(0, 3).sameElements(big.slice(0, 3))) // (0,0)
+    // resized media rows re-encode as decodable PPM with updated meta
+    val media = Multimodal.syntheticMedia(spark, 12L)
+    for (m <- Multimodal.resizeImages(media, maxSide = 20).collect()
+         if m.kind == "image") {
+      assert(math.max(m.meta.width, m.meta.height) <= 20)
+      val dec = ImageCodec.decode(m.payload)
+      assert(dec.exists { case (w, h, _) =>
+        w == m.meta.width && h == m.meta.height })
+    }
+  }
+
+  test("multimodal: image features come from DECODED pixels (luminance " +
+      "histogram), not payload bytes") {
+    val media = Multimodal.syntheticMedia(spark, 9L)
+    val imgs = media.filter(_.kind == "image").collect()
+    assert(imgs.nonEmpty)
+    for (m <- imgs) {
+      val Some((_, _, rgb)) = ImageCodec.decode(m.payload)
+      val expected = ImageCodec.luminanceHistogram(rgb).toSeq
+      val got = Multimodal.decodeFeatures(m.kind, m.payload).toSeq
+      assert(got == expected)
+      // and differs from the stub byte histogram (header bytes included)
+      assert(got != Multimodal.fakeDecodeFeatures(m.payload).toSeq)
+    }
   }
 
   test("multimodal: batched feature extraction preserves schema and determinism") {
