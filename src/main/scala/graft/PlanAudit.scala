@@ -11,8 +11,10 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.01"
     val names = Seq("q1_agg", "q2_join_broadcast", "q3_window_latest",
       "q6_nearest_join", "q7_pairs_per_day", "q10_range_join",
+      "q11_minhash_neardups", "q12_simhash_neardups", "q13_ngram_jaccard",
       "q14_knn_bruteforce", "q15_langid_dist", "q16_token_stats",
-      "q22_semi_by_brand", "q23_embed_neardup", "q25_quality")
+      "q22_semi_by_brand", "q23_embed_neardup", "q25_quality",
+      "q26_embed_neardup_lsh")
     val sb = new StringBuilder
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)
