@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.corpus.Synth
 import graft.kg.{Pipeline, Triples}
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -272,6 +272,33 @@ object SparkEntry {
       TextAnalysis.withQuality(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_words"), col("mean_word_len"),
           col("punct_ratio"), col("stopword_ratio"), col("quality_score"))
+        .orderBy("doc_id")),
+    "q27_pii_redact" -> ((s, dir) => {
+      // PII scrubbing (training-data hygiene): the corpus itself carries
+      // no PII, so deterministic planted rows (mirrored verbatim in the
+      // oracle's VALUES) exercise every pattern; the corpus rows verify
+      // the redaction is exactly identity on clean text
+      import s.implicits._
+      val planted = Seq(
+        (9000001L, "contact john.doe@example.com or jane_smith+tag@mail.co.uk today"),
+        (9000002L, "server at 192.168.1.100 and 10.0.0.1 responded"),
+        (9000003L, "call 555-123-4567 or 555 987 6543 now"),
+        (9000004L, "mixed: admin@test.org from 172.16.254.3 phone 800-555-0199"))
+        .toDF("doc_id", "text")
+      val all = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      TextAnalysis.withPiiRedaction(all)
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
+        .orderBy("doc_id")
+    }),
+    "q28_stratified_sample" -> ((s, dir) =>
+      // deterministic stratified sampling (data mixing): keep 100‰ of
+      // English docs, 500‰ of everything else — membership is a pure
+      // arithmetic function of doc_id, identical under any partitioning
+      Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 100), defaultPermille = 500, salt = 12345L)
+        .select(col("doc_id"), col("lang"))
         .orderBy("doc_id"))
   )
 
@@ -563,6 +590,31 @@ object SparkEntry {
         |      for i in range(1, length(s) - least(32, length(s)) + 2)]) AS BIGINT)
         |  END AS fingerprint
         |FROM norm, pows
+        |ORDER BY doc_id""".stripMargin,
+    "q27_pii_redact" ->
+      """WITH planted(doc_id, text) AS (VALUES
+        |  (9000001, 'contact john.doe@example.com or jane_smith+tag@mail.co.uk today'),
+        |  (9000002, 'server at 192.168.1.100 and 10.0.0.1 responded'),
+        |  (9000003, 'call 555-123-4567 or 555 987 6543 now'),
+        |  (9000004, 'mixed: admin@test.org from 172.16.254.3 phone 800-555-0199')),
+        |all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM planted)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INT) AS n_phones,
+        |  sha256(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text,
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')) AS redacted_sha
+        |FROM all_docs ORDER BY doc_id""".stripMargin,
+    "q28_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ((doc_id * 2654435761 + 12345) % 1000003) % 1000 <
+        |  CASE WHEN lang = 'en' THEN 100 ELSE 500 END
         |ORDER BY doc_id""".stripMargin,
     "q23_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -106,4 +106,31 @@ object TextAnalysis {
       window: Int = 32): DataFrame =
     docs.withColumn("fingerprint",
       RollingFingerprint.rolling_fingerprint(col(textCol), window))
+
+  // ---- PII scrubbing (training-data hygiene) ----
+
+  /** Patterns chosen from the Java-regex ∩ RE2 common subset (no
+    * lookaround, no backrefs) so the DuckDB oracle evaluates the SAME
+    * expressions: emails, dotted-quad IPs, NANP-style phone numbers. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Per-doc PII counts + redacted text. Replacement order is fixed
+    * (email → IP → phone) and the placeholders contain no digits, so the
+    * passes never create new matches for each other. Pure Catalyst
+    * (regexp_count / regexp_replace) — codegen'd, no UDF, narrow. */
+  def withPiiRedaction(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_emails", regexp_count(t, lit(EmailRe)))
+      .withColumn("n_ips", regexp_count(t, lit(IpRe)))
+      .withColumn("n_phones", regexp_count(t, lit(PhoneRe)))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, EmailRe, "<EMAIL>"),
+            IpRe, "<IP>"),
+          PhoneRe, "<PHONE>"))
+  }
 }

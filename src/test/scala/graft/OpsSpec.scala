@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, ImageCodec, Multimodal, RollingFingerprint, Similarity, TextAnalysis}
+import graft.ops.{Dedup, ImageCodec, Multimodal, RollingFingerprint, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard / embedding-cosine), ANN similarity search, text
@@ -305,6 +305,49 @@ class OpsSpec extends AnyFunSuite {
     val tc = Timeline.fitDocTimelines(spark, cyc)
       .as[(String, String, Double)].collect()
     assert(tc.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
+  test("PII redaction: planted emails/IPs/phones counted and replaced; " +
+      "clean text is untouched") {
+    val docs = Seq(
+      (1L, "contact john.doe@example.com or jane_smith+tag@mail.co.uk today"),
+      (2L, "server at 192.168.1.100 and 10.0.0.1 responded"),
+      (3L, "call 555-123-4567 or 555 987 6543 now"),
+      (4L, "no pii in this perfectly ordinary sentence"),
+      (5L, "mixed: admin@test.org from 172.16.254.3 phone 800-555-0199")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.withPiiRedaction(docs)
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "redacted")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 2, 0, 0, "contact <EMAIL> or <EMAIL> today")))
+    assert(r(1) == ((2L, 0, 2, 0, "server at <IP> and <IP> responded")))
+    assert(r(2) == ((3L, 0, 0, 2, "call <PHONE> or <PHONE> now")))
+    assert(r(3) == ((4L, 0, 0, 0, "no pii in this perfectly ordinary sentence")))
+    assert(r(4) == ((5L, 1, 1, 1, "mixed: <EMAIL> from <IP> phone <PHONE>")))
+  }
+
+  test("deterministic sampling: partition-independent, salt-stable, " +
+      "stratified rates close to nominal") {
+    val docs = spark.range(10000).toDF("doc_id")
+      .withColumn("lang",
+        when(col("doc_id") % 3 === 0, "en").otherwise("de"))
+    val s1 = Sampling.hashSample(docs, "doc_id", permille = 100, salt = 7L)
+      .select("doc_id").as[Long].collect().toSet
+    // identical membership under a different partitioning
+    val s2 = Sampling.hashSample(docs.repartition(13), "doc_id",
+      permille = 100, salt = 7L).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    assert(math.abs(s1.size - 1000) < 150, s"rate off: ${s1.size}")
+    // different salt -> different (but same-sized-ish) subset
+    val s3 = Sampling.hashSample(docs, "doc_id", permille = 100, salt = 8L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 != s3)
+    // stratified: en at 100 permille, others at 500
+    val strat = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 100), defaultPermille = 500)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(strat("en") - 333) < 80, s"en: ${strat("en")}")
+    assert(math.abs(strat("de") - 3333) < 300, s"de: ${strat("de")}")
   }
 
   test("image codec: PPM roundtrip, BMP decode, real resize") {
