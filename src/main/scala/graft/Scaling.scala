@@ -41,17 +41,34 @@ object Scaling {
   /** Pin ALL threads of this JVM to the given CPU list ("0-7"). New
     * threads (each run builds a fresh SparkSession and pools) inherit
     * the creator's mask, so pinning before session creation covers the
-    * executors too. A non-zero taskset exit code is surfaced instead of
-    * silently measuring an unpinned (or stale-pinned) JVM. */
+    * executors too.
+    *
+    * Verification is by READ-BACK of the main thread's affinity, not by
+    * taskset's exit code: `taskset -apc` races with short-lived JVM
+    * threads and exits 1 even when every surviving thread was pinned
+    * (observed on this host), so the exit code alone over-warns. */
   def pin(cpus: String): Unit = {
     val pid = ProcessHandle.current().pid().toString
     val p = new ProcessBuilder("taskset", "-apc", cpus, pid)
       .redirectErrorStream(true).start()
     p.getInputStream.readAllBytes() // drain
-    val rc = p.waitFor()
-    if (rc != 0)
-      System.err.println(s"[scaling] WARNING: taskset -apc $cpus exited " +
-        s"$rc — JVM affinity may not match the claimed parallelism")
+    p.waitFor()
+    val check = new ProcessBuilder("taskset", "-pc", pid)
+      .redirectErrorStream(true).start()
+    val out = new String(check.getInputStream.readAllBytes(), "UTF-8").trim
+    check.waitFor()
+    val got = out.split(":").lastOption.map(_.trim).getOrElse("")
+    def cpuSet(s: String): Set[Int] = s.split(",").filter(_.nonEmpty)
+      .flatMap { part =>
+        part.split("-") match {
+          case Array(a, b) => (a.trim.toInt to b.trim.toInt).toSeq
+          case Array(a) => Seq(a.trim.toInt)
+          case _ => Seq.empty
+        }
+      }.toSet
+    if (scala.util.Try(cpuSet(got)).toOption != Some(cpuSet(cpus)))
+      System.err.println(s"[scaling] WARNING: requested CPUs $cpus but " +
+        s"affinity read-back says '$got' — measurement may be unpinned")
   }
 
   def runOnce(cores: Int, nFiles: Long, spf: Int, pinned: Boolean): Run = {

@@ -135,6 +135,25 @@ object StreamingKg {
       }
   }
 
+  /** Streaming exact dedup (ingest hygiene): suppress files whose content
+    * sha256 was already seen within the watermark horizon.
+    * `dropDuplicatesWithinWatermark` evicts state past the watermark —
+    * REQUIRED at 10^12-file scale, where an unbounded seen-set cannot
+    * exist; duplicates that recur beyond the horizon are the batch
+    * compactor's job (`Dedup.exactDrops` over committed snapshots), the
+    * same lambda split as the other cross-sentence ops. */
+  def dedupedFiles(files: Dataset[StampedFile],
+      watermark: String = "10 minutes"): Dataset[StampedFile] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.toDF()
+      .withColumn("content_sha", sha2(col("content"), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_sha")
+      .drop("content_sha")
+      .as[StampedFile]
+  }
+
   /** End-to-end streaming writer: parquet sink + checkpointLocation (the
     * streaming replacement for the reference's checkpoint-every-20-docs,
     * test_on_raw_text.py:119-120 — exactly-once via the sink log). */

@@ -85,6 +85,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.triples == perFileTriples)
   }
 
+  test("streaming exact dedup: duplicate content within the watermark " +
+      "horizon is suppressed, across micro-batches") {
+    val mem = MemoryStream[StampedFile](spark)
+    val f0 = stamped(0, 1)
+    val dupSameBatch = f0.copy(path = "copy/a.md") // same content, new path
+    val dupNextBatch = f0.copy(path = "copy/b.md",
+      ts = Timestamp.valueOf("2026-01-01 10:03:00"))
+    val distinct = stamped(1, 2)
+    val q = StreamingKg.dedupedFiles(mem.toDS()).toDF()
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(f0, dupSameBatch, distinct)
+    q.processAllAvailable()
+    mem.addData(dupNextBatch)
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("dedup_out").as[StampedFile].collect()
+    // one row per distinct content; the two copies are dropped even
+    // though one arrived in a later micro-batch
+    assert(out.length == 2, s"got: ${out.map(_.path).toSeq}")
+    assert(out.map(f => graft.text.Text.sha256(f.content)).distinct.length == 2)
+    assert(!out.exists(_.path.startsWith("copy/")))
+  }
+
   test("file sink with checkpoint: AvailableNow drains and commits exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     val mem = MemoryStream[StampedFile](spark)
