@@ -211,7 +211,14 @@ object Pipeline {
   def injectTempRelOnlyEvents(spark: SparkSession, aligned: DataFrame,
       events: Dataset[EventRow], tagged: Dataset[TaggedSentence]): Dataset[EventRow] = {
     import spark.implicits._
-    val triggerKeys = events.select(col("sentKey"), col("trigStart"))
+    // trigger positions come from the CACHED tagged frame, not from
+    // `events`: the events subtree runs per-event argument Viterbi, and
+    // evaluating it a second time just to read (sentKey, trigStart) was
+    // ~20% of total pipeline task time (QBench round 3) — the tagged
+    // triggers carry the same key set for free
+    val triggerKeys = tagged
+      .select(col("sentKey"), explode(col("triggers")).as("tr"))
+      .select(col("sentKey"), col("tr.start").as("trigStart"))
     val nonContained = aligned.join(triggerKeys,
       aligned("sentKey") === triggerKeys("sentKey") &&
         aligned("alignedIdx") === triggerKeys("trigStart"),
