@@ -328,10 +328,13 @@ object Pipeline {
   def annotateFrom(spark: SparkSession, sents: Dataset[Sentence],
       tagged: Dataset[TaggedSentence]): Annotated = {
     val events = eventRows(spark, tagged)
+    // consumed by BOTH alignHeads (posexplode join side) and
+    // scoreRelations (connective window) — cache the narrow projection so
+    // the two joins (and their broadcast threads) share one evaluation
     val sentToks = sents.select(
       concat(col("repo"), lit("/"), col("path"), lit("#L"), col("lineNum"),
         lit(":S"), col("senNum")).as("sentKey"),
-      col("tokens"))
+      col("tokens")).persist()
     // heads feeds BOTH the alignment and the pair generator; allEvents
     // feeds BOTH the duration stage and the final merge — persist each so
     // the branches share one computation instead of re-running the
@@ -345,7 +348,7 @@ object Pipeline {
     val durs = durations(spark, allEvents)
     val enriched = enrich(spark, allEvents, durs, tagged)
     Annotated(tagged, enriched, rels,
-      caches = Seq(heads, aligned, allEvents.toDF()))
+      caches = Seq(sentToks, heads, aligned, allEvents.toDF()))
   }
 
   /** Ingest reference-format annotation records (Sources.annotationSchema,
