@@ -60,6 +60,10 @@ object Bench {
       val bf = ids("q14_knn_bruteforce")
       ids("q18_ann_topk").intersect(bf).size.toDouble / bf.size
     }
+    val ivfRecall = grade("ivf_recall_at_10") {
+      val bf = ids("q14_knn_bruteforce")
+      ids("q29_ann_ivf").intersect(bf).size.toDouble / bf.size
+    }
     val lshRecall = grade("lsh_neardup_pair_recall") {
       val exact = pairs("q23_embed_neardup")
       if (exact.isEmpty) -1.0
@@ -97,7 +101,7 @@ object Bench {
       }
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"triples_per_sec":$triplesPerSec,"ann_recall_at_10":$annRecall,"lsh_neardup_pair_recall":$lshRecall,"lsh_contract_recall":$lshContractRecall}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"triples_per_sec":$triplesPerSec,"ann_recall_at_10":$annRecall,"ivf_recall_at_10":$ivfRecall,"lsh_neardup_pair_recall":$lshRecall,"lsh_contract_recall":$lshContractRecall}""")
     spark.stop()
   }
 }

@@ -292,6 +292,16 @@ object SparkEntry {
           col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    "q29_ann_ivf" -> ((s, dir) => {
+      // IVF ANN: data-adaptive coarse quantizer (deterministic k-means,
+      // sqrt(n) centroids) — the clustered-corpus scale path beside the
+      // q18 hyperplane LSH; approximate (recall vs q14 brute force is
+      // reported by Bench as ivf_recall_at_10), hence rows-only
+      val emb = t(s, dir, "embeddings")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      Similarity.ivfTopK(emb, query, 10, nProbe = 8)
+    }),
     "q28_stratified_sample" -> ((s, dir) =>
       // deterministic stratified sampling (data mixing): keep 100‰ of
       // English docs, 500‰ of everything else — membership is a pure

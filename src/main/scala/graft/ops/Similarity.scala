@@ -232,4 +232,153 @@ object Similarity {
     lshBuckets(embeddings, nPlanes, nTables, idCol, vecCol)
       .groupBy("table", "bucket").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucket)
+
+  // ---- IVF (inverted-file) ANN — the second scale path ----
+  //
+  // Sign-LSH (above) partitions by random hyperplanes; IVF partitions by a
+  // DATA-ADAPTIVE coarse quantizer (k-means centroids), which wins when
+  // the corpus is clustered (real embedding corpora are): a query probes
+  // the nProbe nearest lists, so the scanned fraction is ~nProbe/k and
+  // each list is a semantically coherent region instead of a random
+  // halfspace cell. Classical IVF sizing: k ≈ sqrt(n) centroids, so both
+  // the centroid scan (k) and the probed rows (nProbe·n/k) grow as
+  // sqrt(n) — at 10^9 rows that is ~31k centroids and ~31k rows scanned
+  // per probe, vs 10^9 for brute force.
+
+  /** Nearest centroid index by cosine (ties → lowest index). */
+  def nearestCentroid(v: Array[Float], cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestCos = Double.MinValue
+    var vn = 0.0
+    var j = 0
+    while (j < v.length) { vn += v(j).toDouble * v(j); j += 1 }
+    val vnorm = math.sqrt(vn)
+    var c = 0
+    while (c < cents.length) {
+      val p = cents(c)
+      var dot = 0.0; var pn = 0.0
+      var i = 0
+      val n = math.min(p.length, v.length)
+      while (i < n) { dot += p(i).toDouble * v(i); pn += p(i).toDouble * p(i); i += 1 }
+      val cos = if (pn == 0.0 || vnorm == 0.0) -2.0 else dot / (math.sqrt(pn) * vnorm)
+      if (cos > bestCos) { bestCos = cos; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Centroid count for a corpus of n rows: the classical sqrt(n) IVF
+    * sizing, floored for tiny test corpora. */
+  def adaptiveCentroids(n: Long): Int =
+    math.max(4, math.min(65536, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Deterministic k-means coarse quantizer. Seeds are the k rows with
+    * the smallest xxhash64(id) — a uniform, partitioning-independent
+    * sample — refined by `iters` Lloyd iterations. Each iteration is one
+    * narrow pass (assignment against broadcast centroids, per-partition
+    * partial sums) plus a k-row shuffle of pre-aggregated (sum, count)
+    * pairs — NO full-vector shuffle, so an iteration's cost is one corpus
+    * scan regardless of k. Empty clusters keep their previous centroid.
+    * Train once offline and reuse via the `centroids` parameter of
+    * `ivfTopK` in a query-serving loop. */
+  def trainCentroids(embeddings: DataFrame, k: Int, iters: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val ds = embeddings.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+    var cents: Array[Array[Float]] = embeddings
+      .select(col(vecCol), xxhash64(col(idCol).cast("long")).as("h"))
+      .orderBy("h").limit(k) // TakeOrdered: no global sort materialized
+      .select(col(vecCol)).as[Seq[Float]].collect().map(_.toArray)
+    var it = 0
+    while (it < iters && cents.nonEmpty) {
+      val bc = spark.sparkContext.broadcast(cents)
+      // (cluster, partial sum, partial count) per partition — at most
+      // numPartitions × k tiny rows reach the reduce
+      val partials = ds.mapPartitions { rows =>
+        val cs = bc.value
+        val sums = Array.ofDim[Array[Double]](cs.length)
+        val cnts = new Array[Long](cs.length)
+        rows.foreach { case (_, v) =>
+          val a = v.toArray
+          val c = nearestCentroid(a, cs)
+          if (sums(c) == null) sums(c) = new Array[Double](a.length)
+          val s = sums(c)
+          var j = 0
+          val n = math.min(s.length, a.length)
+          while (j < n) { s(j) += a(j); j += 1 }
+          cnts(c) += 1
+        }
+        sums.indices.iterator.filter(cnts(_) > 0)
+          .map(c => (c, (sums(c).toSeq, cnts(c))))
+      }
+      val merged = partials.groupByKey(_._1)
+        .reduceGroups { (x: (Int, (Seq[Double], Long)), y: (Int, (Seq[Double], Long))) =>
+          val (sa, ca) = x._2; val (sb, cb) = y._2
+          (x._1, (sa.zip(sb).map { case (p, q) => p + q }, ca + cb))
+        }
+        .map { case (c, (_, (s, n))) => (c, s.map(v => (v / n).toFloat)) }
+        .collect().toMap
+      cents = cents.indices.map(c =>
+        merged.get(c).map(_.toArray).getOrElse(cents(c))).toArray
+      bc.unpersist()
+      it += 1
+    }
+    cents
+  }
+
+  /** Inverted-list assignment: one narrow map over broadcast centroids →
+    * (id, list). At scale this column is what you'd bucket/partition the
+    * stored table by, so a probe is a partition-pruned scan. */
+  def ivfAssign(embeddings: DataFrame, cents: Array[Array[Float]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    embeddings.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (id, v) => (id, nearestCentroid(v.toArray, cs)) }
+      }.toDF(idCol, "list")
+  }
+
+  /** IVF ANN top-k: rank centroids by cosine to the query driver-side
+    * (k centroids ≈ sqrt(n) — tiny), probe the `nProbe` nearest lists,
+    * exact cosine inside the probed rows only. `centroids` — pass a
+    * pretrained quantizer to skip training (query-serving shape);
+    * `k <= 0` → adaptive sqrt(corpus). With nProbe >= k every list is
+    * probed and the result equals brute force exactly (tested). */
+  def ivfTopK(embeddings: DataFrame, query: Seq[Float], kNN: Int,
+      nProbe: Int = 4, k: Int = 0, iters: Int = 4,
+      centroids: Array[Array[Float]] = null,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusSize: Long = -1L): DataFrame = {
+    val cents =
+      if (centroids != null) centroids
+      else {
+        val n = if (corpusSize > 0) corpusSize else embeddings.count()
+        val k0 = if (k > 0) k else adaptiveCentroids(n)
+        trainCentroids(embeddings, k0, iters, idCol, vecCol)
+      }
+    val q = query.toArray
+    val probes = cents.indices
+      .sortBy { c =>
+        val p = cents(c)
+        var dot = 0.0; var pn = 0.0; var qn = 0.0
+        var i = 0
+        val n = math.min(p.length, q.length)
+        while (i < n) {
+          dot += p(i).toDouble * q(i); pn += p(i).toDouble * p(i)
+          qn += q(i).toDouble * q(i); i += 1
+        }
+        if (pn == 0.0 || qn == 0.0) 2.0 else -dot / math.sqrt(pn * qn)
+      }
+      .take(math.max(1, nProbe)).map(Int.box)
+    val assigned = ivfAssign(embeddings, cents, idCol, vecCol)
+    val probed = embeddings.join(
+      assigned.filter(col("list").isin(probes: _*)).select(idCol),
+      Seq(idCol), "left_semi")
+    bruteForceTopK(probed, query, kNN, idCol, vecCol)
+  }
 }

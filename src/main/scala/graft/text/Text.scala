@@ -236,6 +236,52 @@ object Text {
     md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
 
+  /** Copular-predicate span extension + 5-word text cap (P13 + K4, aux
+    * path — Duration's PredPatt preprocessing, preprocess.py:28-76; the
+    * live path bypasses PredPatt, preprocess.py:114-135, so this feeds
+    * only the duration-side text view, never the core trigger spans).
+    *
+    * Reference rule: when the predicate root is NOT verbal and a copula
+    * ("cop" dependency) occurs among the predicate tokens, the predicate
+    * text starts at the copula and runs to the end of the predicate
+    * phrase (preprocess.py:40-47); the root token index is kept for the
+    * it-happened linkage either way. The stand-in without a dependency
+    * parse: the copula is the nearest BE-form before the root inside the
+    * same clause. Text is capped at 5 words with a "..." suffix
+    * (preprocess.py:70-74 — K4).
+    *
+    * Returns (predText, spanTokenIdxs, rootIdx). */
+  def copularPredicate(tokens: Seq[String], rootIdx: Int,
+      clauseEnd: Int = -1): (String, Seq[Int], Int) = {
+    val Copulas = Set("is", "are", "was", "were", "be", "been", "being",
+      "am", "'s", "'re", "'m")
+    val isVerbal = {
+      val lower = tokens(rootIdx).toLowerCase
+      // verbal heuristic mirroring predicate.root.tag in {VERB, AUX}:
+      // BE-forms themselves, or -ed/-ing/-s inflected forms of a known
+      // lemma (normLemma hit implies an inflection was stripped)
+      Copulas.contains(lower) ||
+        ((lower.endsWith("ed") || lower.endsWith("ing")) && lower.length > 4)
+    }
+    val copIdx =
+      if (isVerbal) -1
+      else (rootIdx - 1 to 0 by -1)
+        .takeWhile(i => !Set(",", ".", ";", "that").contains(tokens(i).toLowerCase))
+        .find(i => Copulas.contains(tokens(i).toLowerCase)).getOrElse(-1)
+    val end = if (clauseEnd >= 0) clauseEnd else {
+      var e = rootIdx
+      while (e + 1 < tokens.length &&
+        !Set(",", ".", "!", "?", ";").contains(tokens(e + 1))) e += 1
+      e
+    }
+    val span = if (copIdx >= 0) (copIdx to end).toSeq else Seq(rootIdx)
+    val words = span.map(tokens(_))
+    val text =
+      if (words.length > 5) words.take(5).mkString(" ") + "..."
+      else words.mkString(" ")
+    (text, span, rootIdx)
+  }
+
   /** Lemma-ish normalization for canonicalization blocking: lowercase,
     * strip possessives and plural/verbal suffixes. Deterministic. */
   def normLemma(t: String): String = {

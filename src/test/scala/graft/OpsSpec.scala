@@ -105,6 +105,53 @@ class OpsSpec extends AnyFunSuite {
     assert((1.0 + 12 + 12 * 11 / 2) / (1 << 12) < 0.02) // scale fraction
   }
 
+  test("IVF ANN: probe-all equals brute force exactly; few probes restrict scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 7)
+      .select("embedding").as[Seq[Float]].head()
+    val k = 8
+    val cents = Similarity.trainCentroids(emb, k, iters = 3)
+    assert(cents.length == k)
+    // nProbe >= k probes every inverted list -> EXACT brute-force result
+    val bf = Similarity.bruteForceTopK(emb, query, 10).as[(Long, Double)].collect().toSeq
+    val all = Similarity.ivfTopK(emb, query, 10, nProbe = k, centroids = cents)
+      .as[(Long, Double)].collect().toSeq
+    assert(all == bf, "probe-all IVF must equal brute force")
+    // few probes: self found, candidate set restricted to the probed lists
+    val few = Similarity.ivfTopK(emb, query, 10, nProbe = 2, centroids = cents)
+      .as[(Long, Double)].collect()
+    assert(few.map(_._1).contains(7L))
+    val assigned = Similarity.ivfAssign(emb, cents)
+    val listSizes = assigned.groupBy("list").count().as[(Int, Long)].collect().toMap
+    val total = listSizes.values.sum
+    assert(total == emb.count())
+    assert(listSizes.size > 1, "degenerate quantizer: one list")
+    // deterministic: retraining yields identical centroids
+    val cents2 = Similarity.trainCentroids(emb, k, iters = 3)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+  }
+
+  test("IVF quantizer: clustered corpus recalls true neighbors with 1 probe") {
+    // two tight, well-separated clusters: IVF's data-adaptive lists put
+    // each cluster in its own region, so ONE probe finds all neighbors —
+    // the case where a data-blind hyperplane cut can split a cluster
+    val rng = new scala.util.Random(7)
+    def around(center: Array[Float], n: Int, base: Long) =
+      (0 until n).map { i =>
+        (base + i, center.map(x => x + (rng.nextFloat() - 0.5f) * 0.05f).toSeq)
+      }
+    val c1 = Array.fill(16)(1.0f); val c2 = Array.fill(16)(-1.0f)
+    val rows = around(c1, 30, 0L) ++ around(c2, 30, 100L)
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(emb, 2, iters = 4)
+    val q = rows.find(_._1 == 5L).get._2
+    val got = Similarity.ivfTopK(emb, q, 10, nProbe = 1, centroids = cents)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val bf = Similarity.bruteForceTopK(emb, q, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(got == bf, s"1-probe IVF missed in-cluster neighbors: $got vs $bf")
+  }
+
   test("embedding-cosine near-dup pairs: planted duplicate vector found") {
     val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(50)

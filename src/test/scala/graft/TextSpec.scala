@@ -129,4 +129,27 @@ class TextSpec extends AnyFunSuite {
     assert(Text.sha256("abc") ==
       "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
   }
+
+  test("copularPredicate: extension from copula + 5-word cap " +
+      "(preprocess.py:28-76, P13/K4 aux path)") {
+    // non-verbal root with a preceding copula -> span starts AT the copula
+    val t1 = Text.tokenize("the system is ready for deployment now")
+    val (txt1, span1, root1) = Text.copularPredicate(t1, t1.indexOf("ready"))
+    assert(span1.head == t1.indexOf("is"))
+    assert(root1 == t1.indexOf("ready"))
+    assert(txt1 == "is ready for deployment now")
+    // cap: >5 words truncates to 5 + "..." (preprocess.py:70-74)
+    val t2 = Text.tokenize("the plan is ready for immediate global deployment tomorrow morning")
+    val (txt2, _, _) = Text.copularPredicate(t2, t2.indexOf("ready"))
+    assert(txt2 == "is ready for immediate global...")
+    assert(txt2.split(" ").length == 5 && txt2.endsWith("..."))
+    // verbal root (inflected): no extension, span = root alone
+    val t3 = Text.tokenize("the team deployed the fix quickly")
+    val (txt3, span3, _) = Text.copularPredicate(t3, t3.indexOf("deployed"))
+    assert(span3 == Seq(t3.indexOf("deployed")) && txt3 == "deployed")
+    // copula search must not cross a clause delimiter
+    val t4 = Text.tokenize("it was late , the patch ready for review")
+    val (_, span4, _) = Text.copularPredicate(t4, t4.indexOf("ready"))
+    assert(span4 == Seq(t4.indexOf("ready"))) // "was" is behind the comma
+  }
 }
