@@ -143,7 +143,7 @@ object Scaling {
     }.mkString("\n")
     val head =
       s"""
-         |## Measured scaling (round 2: pinned repeat-median + warm-up, graft.Scaling, ${java.time.LocalDate.now()})
+         |## Measured scaling (pinned repeat-median + warm-up, graft.Scaling, ${java.time.LocalDate.now()})
          |
          |Same job (KG pipeline → triple count), same deterministic input
          |($nFiles files × $spf sentences, ${lows.head.triples} triples), one fresh

@@ -292,6 +292,58 @@ object SparkEntry {
           col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    "q30_golden_spans" -> ((s, dir) => {
+      // P3 (BIO->span decode) + P4 (span->text projection) made driver-
+      // checkable: every golden span (ner/trigger/argument) from the
+      // reference's test_ace.pred.json is round-tripped through the
+      // engine's BIO tag path — bioEncode -> bioDecode -> spanText — and
+      // the oracle re-derives (start, end, text) DIRECTLY from the JSON
+      // with list_slice, so a decode quirk or an off-by-one in either
+      // direction hash-fails. NER spans encode per sentence; trigger and
+      // argument spans per event (the reference's X1 expansion shape).
+      import s.implicits._
+      val ann = graft.sources.Sources.readAnnotationArray(s,
+        "/root/reference/component/Duration/Mu_test_data/test_ace.pred.json")
+      import graft.text.Text
+      import graft.text.Text.SpanLabel
+      import org.apache.spark.sql.Row
+      def viaBio(tokens: Seq[String], spans: Seq[SpanLabel]): Seq[SpanLabel] = {
+        val b2i = spans.map(sp => s"B-${sp.label}" -> s"I-${sp.label}").toMap
+        Text.bioDecode(Text.bioEncode(tokens.length, spans), b2i)
+      }
+      ann.select(col("rec_idx").cast("long"), col("tokens"), col("events"),
+          col("ner"))
+        .flatMap { r =>
+          val rec = r.getLong(0)
+          val tokens: Seq[String] =
+            Option(r.getSeq[String](1)).getOrElse(Seq.empty)
+          def nested(row: Row, f: String): scala.collection.Seq[Row] =
+            Option(row.getAs[scala.collection.Seq[Row]](f))
+              .getOrElse(scala.collection.Seq.empty)
+          val nerSpans = Option(r.getSeq[scala.collection.Seq[String]](3))
+            .getOrElse(Seq.empty).filter(_.length == 3)
+            .map(n => SpanLabel(n(2), n(0).toInt, n(1).toInt))
+          val events = Option(r.getAs[scala.collection.Seq[Row]]("events"))
+            .getOrElse(scala.collection.Seq.empty)
+          def spansOf(row: Row, f: String, lab: Row => String): Seq[SpanLabel] =
+            nested(row, f).map(x => SpanLabel(lab(x),
+              x.getAs[Int]("start_token"), x.getAs[Int]("end_token"))).toSeq
+          val out =
+            viaBio(tokens, nerSpans).map(("ner", _)) ++
+            events.toSeq.flatMap { ev =>
+              viaBio(tokens, spansOf(ev, "triggers",
+                _.getAs[String]("event_type"))).map(("trigger", _)) ++
+              viaBio(tokens, spansOf(ev, "arguments",
+                _.getAs[String]("role"))).map(("argument", _))
+            }
+          out.map { case (kind, sp) =>
+            (rec, kind, sp.label, sp.start, sp.end,
+              Text.spanText(tokens, sp.start, sp.end))
+          }
+        }
+        .toDF("rec_idx", "kind", "label", "start_tok", "end_tok", "span_text")
+        .orderBy("rec_idx", "kind", "start_tok", "end_tok", "label")
+    }),
     "q29_ann_ivf" -> ((s, dir) => {
       // IVF ANN: data-adaptive coarse quantizer (deterministic k-means,
       // sqrt(n) centroids) — the clustered-corpus scale path beside the
@@ -300,7 +352,7 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val query = emb.filter(col("vec_id") === 0)
         .select("embedding").collect()(0).getSeq[Float](0)
-      Similarity.ivfTopK(emb, query, 10, nProbe = 8)
+      Similarity.ivfTopK(emb, query, 10, nProbe = 16)
     }),
     "q28_stratified_sample" -> ((s, dir) =>
       // deterministic stratified sampling (data mixing): keep 100‰ of
@@ -317,6 +369,36 @@ object SparkEntry {
     * (KG pipeline, LSH/minhash/simhash signatures, custom expression,
     * synthetic media) → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    // q30: every golden span re-derived directly from the JSON with
+    // list_slice — the engine side goes through bioEncode -> bioDecode ->
+    // spanText instead, so the BIO decode path and the text projection
+    // are value-checked against an independent derivation on 832 real
+    // reference-annotated sentences.
+    "q30_golden_spans" ->
+      """WITH f AS (SELECT json(content) AS j FROM read_text('/root/reference/component/Duration/Mu_test_data/test_ace.pred.json')),
+        |recs AS (SELECT unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx,
+        |                unnest(json_extract(j, '$[*]')) AS rec FROM f),
+        |tok AS (SELECT rec_idx, CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens, rec FROM recs),
+        |nerrows AS (SELECT rec_idx, tokens, unnest(CAST(rec->'$.ner' AS JSON[])) AS n FROM tok),
+        |ner AS (SELECT rec_idx, 'ner' AS kind, n->>'$[2]' AS label,
+        |        CAST(n->>'$[0]' AS INTEGER) AS start_tok, CAST(n->>'$[1]' AS INTEGER) AS end_tok,
+        |        array_to_string(tokens[CAST(n->>'$[0]' AS INTEGER)+1 : CAST(n->>'$[1]' AS INTEGER)+1], ' ') AS span_text
+        |        FROM nerrows),
+        |evrows AS (SELECT rec_idx, tokens, unnest(CAST(rec->'$.events' AS JSON[])) AS ev FROM tok),
+        |trigrows AS (SELECT rec_idx, tokens, unnest(CAST(ev->'$.triggers' AS JSON[])) AS tr FROM evrows),
+        |trig AS (SELECT rec_idx, 'trigger' AS kind, tr->>'$.event_type' AS label,
+        |        CAST(tr->>'$.start_token' AS INTEGER) AS start_tok, CAST(tr->>'$.end_token' AS INTEGER) AS end_tok,
+        |        array_to_string(tokens[CAST(tr->>'$.start_token' AS INTEGER)+1 : CAST(tr->>'$.end_token' AS INTEGER)+1], ' ') AS span_text
+        |        FROM trigrows),
+        |argrows AS (SELECT rec_idx, tokens, unnest(CAST(ev->'$.arguments' AS JSON[])) AS a FROM evrows),
+        |args AS (SELECT rec_idx, 'argument' AS kind, a->>'$.role' AS label,
+        |        CAST(a->>'$.start_token' AS INTEGER) AS start_tok, CAST(a->>'$.end_token' AS INTEGER) AS end_tok,
+        |        array_to_string(tokens[CAST(a->>'$.start_token' AS INTEGER)+1 : CAST(a->>'$.end_token' AS INTEGER)+1], ' ') AS span_text
+        |        FROM argrows)
+        |SELECT rec_idx, kind, label, start_tok, end_tok, span_text
+        |FROM (SELECT * FROM ner UNION ALL SELECT * FROM trig UNION ALL SELECT * FROM args)
+        |ORDER BY rec_idx, kind, start_tok, end_tok, label""".stripMargin,
+
     // kg_from_annotations: full SQL re-derivation of the KG relational
     // back half over the reference golden snapshot — JSON explode, P5
     // assembly, A6 canonicalization (blocking + containment edges +
