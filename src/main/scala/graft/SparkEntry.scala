@@ -292,6 +292,41 @@ object SparkEntry {
           col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    "kg_timeline_golden" -> ((s, dir) => {
+      // A8 (timeline fit) made driver-checkable: temporal relations are
+      // derived by the engine's LIVE connective stage (Taggers
+      // .relationLabel — J4 pairing + P6 NONE/VAGUE filter) over the
+      // reference golden TimeBank triggers, then Timeline.fitDocTimelines
+      // runs the longest-path layering + min-max normalization. The
+      // DuckDB oracle re-derives everything — first-connective labeling,
+      // directed weighted edges, longest-path via recursive CTE, the
+      // half-even 4-decimal rounding (round_even) — independently.
+      import s.implicits._
+      val ann = graft.sources.Sources.readAnnotationArray(s,
+        "/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json")
+      import graft.tag.Taggers
+      import org.apache.spark.sql.Row
+      val prefix = "eventplus/Mu_test_data/test_tbd.pred.json#L0:S"
+      val rels = ann.select(col("rec_idx"), col("tokens"), col("events"))
+        .flatMap { r =>
+          val rec = r.getInt(0)
+          val tokens: Seq[String] =
+            Option(r.getSeq[String](1)).getOrElse(Seq.empty)
+          val events = Option(r.getAs[scala.collection.Seq[Row]]("events"))
+            .getOrElse(scala.collection.Seq.empty)
+          val heads = events.flatMap { ev =>
+            Option(ev.getAs[scala.collection.Seq[Row]]("triggers"))
+              .getOrElse(scala.collection.Seq.empty)
+              .map(_.getAs[Int]("start_token"))
+          }.distinct.sorted
+          for {
+            l <- heads; rr <- heads if l < rr
+            lab = Taggers.relationLabel(tokens, l, rr)
+            if lab != "NONE" && lab != "VAGUE"
+          } yield (prefix + rec, l, rr, lab)
+        }.toDF("sentKey", "lAligned", "rAligned", "label")
+      graft.eval.Timeline.fitDocTimelines(s, rels).orderBy("doc", "eventId")
+    }),
     "q30_golden_spans" -> ((s, dir) => {
       // P3 (BIO->span decode) + P4 (span->text projection) made driver-
       // checkable: every golden span (ner/trigger/argument) from the
@@ -369,6 +404,47 @@ object SparkEntry {
     * (KG pipeline, LSH/minhash/simhash signatures, custom expression,
     * synthetic media) → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    // kg_timeline_golden: the A8 timeline re-derived end-to-end in SQL —
+    // first-connective relation labeling over golden TimeBank triggers,
+    // NONE/VAGUE filter, longest-path layering as a recursive CTE over
+    // the directed weighted constraint graph (BEFORE: a->b w1; AFTER:
+    // b->a w1; SIMULTANEOUS/INCLUDES: 0-weight both ways), min-max
+    // normalization with half-even 4-decimal rounding (round_even =
+    // Scala math.rint).
+    "kg_timeline_golden" ->
+      """WITH RECURSIVE
+        |conn(tok, lab) AS (VALUES ('before','BEFORE'),('until','BEFORE'),('after','AFTER'),('once','AFTER'),('while','SIMULTANEOUS'),('during','SIMULTANEOUS'),('as','SIMULTANEOUS'),('when','VAGUE'),('and','NONE')),
+        |f AS (SELECT json(content) AS j FROM read_text('/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json')),
+        |recs AS (SELECT unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx, unnest(json_extract(j,'$[*]')) AS rec FROM f),
+        |tok AS (SELECT rec_idx, CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens, rec FROM recs),
+        |heads0 AS (SELECT DISTINCT rec_idx, CAST(tr->>'$.start_token' AS INTEGER) AS h
+        |           FROM (SELECT rec_idx, unnest(CAST(ev->'$.triggers' AS JSON[])) AS tr
+        |                 FROM (SELECT rec_idx, unnest(CAST(rec->'$.events' AS JSON[])) AS ev FROM tok))),
+        |pairs AS (SELECT a.rec_idx, a.h AS l, b.h AS r FROM heads0 a JOIN heads0 b ON a.rec_idx=b.rec_idx AND a.h < b.h),
+        |withtok AS (SELECT p.rec_idx, p.l, p.r, t.tokens FROM pairs p JOIN tok t USING (rec_idx)),
+        |cand AS (SELECT rec_idx, l, r, tokens, unnest(range(l+1, r)) AS i FROM withtok),
+        |hit AS (SELECT c.rec_idx, c.l, c.r, c.i, cn.lab,
+        |        row_number() OVER (PARTITION BY c.rec_idx, c.l, c.r ORDER BY c.i) AS rn
+        |        FROM (SELECT rec_idx, l, r, i, lower(tokens[CAST(i AS INTEGER)+1]) AS w FROM cand) c
+        |        JOIN conn cn ON cn.tok = c.w),
+        |rels AS (SELECT rec_idx, l, r, lab FROM hit WHERE rn = 1 AND lab NOT IN ('NONE','VAGUE')),
+        |e AS (SELECT 'eventplus/Mu_test_data/test_tbd.pred.json#L0:S' || rec_idx || ':T' || l AS a,
+        |             'eventplus/Mu_test_data/test_tbd.pred.json#L0:S' || rec_idx || ':T' || r AS b, lab FROM rels),
+        |dedges AS (
+        |  SELECT a AS src, b AS dst, 1 AS w FROM e WHERE lab='BEFORE'
+        |  UNION ALL SELECT b, a, 1 FROM e WHERE lab='AFTER'
+        |  UNION ALL SELECT a, b, 0 FROM e WHERE lab IN ('SIMULTANEOUS','INCLUDES','IS_INCLUDED')
+        |  UNION ALL SELECT b, a, 0 FROM e WHERE lab IN ('SIMULTANEOUS','INCLUDES','IS_INCLUDED')),
+        |nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+        |reach(v, d) AS (SELECT v, 0 FROM nodes
+        |  UNION SELECT de.dst, r.d + de.w FROM reach r JOIN dedges de ON de.src = r.v WHERE r.d + de.w <= 1000),
+        |tval AS (SELECT v, MAX(d) AS t FROM reach GROUP BY v),
+        |stats AS (SELECT MIN(t) AS lo, MAX(t) - MIN(t) AS span FROM tval)
+        |SELECT 'eventplus/Mu_test_data/test_tbd.pred.json' AS doc, v AS eventId,
+        |  CASE WHEN span = 0 THEN 0.0
+        |       ELSE round_even((CAST(t - lo AS DOUBLE) / span) * 10000, 0) / 10000 END AS t
+        |FROM tval, stats ORDER BY doc, eventId""".stripMargin,
+
     // q30: every golden span re-derived directly from the JSON with
     // list_slice — the engine side goes through bioEncode -> bioDecode ->
     // spanText instead, so the BIO decode path and the text projection
