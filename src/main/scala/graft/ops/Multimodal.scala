@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * The IMAGE path is real end-to-end: payloads are actual binary PPM (P6)
   * files (BMP also accepted), decoded to pixels by ImageCodec, with
   * features extracted from a luminance histogram and resize operating on
-  * decoded pixels. The AUDIO/VIDEO codec work remains STUBBED with
-  * deterministic fakes — those codec libraries are not in this container —
-  * but everything Spark-side is real and tested: the schema, the binary
-  * column plumbing, the batch shape, the partitioning, and the
-  * feature-column contract downstream consumers rely on.
+  * decoded pixels. The AUDIO path is real too: payloads are actual
+  * RIFF/WAVE PCM-16 files decoded to samples by AudioCodec, features from
+  * an amplitude histogram. VIDEO decode remains STUBBED with a
+  * deterministic fake — compressed video codecs genuinely need native
+  * libraries this container lacks — but everything Spark-side is real and
+  * tested: the schema, the binary column plumbing, the batch shape, the
+  * partitioning, and the feature-column contract downstream consumers
+  * rely on.
   */
 object Multimodal {
 
@@ -59,9 +62,21 @@ object Multimodal {
           MediaRow(i, kind, ImageCodec.encodePpm(w, h, rgb),
             MediaMeta(w, h, 3, 0, 0))
         case "audio" =>
-          val size = 256 + rng.nextInt(768)
-          MediaRow(i, kind, Array.fill(size)(rng.nextInt(256).toByte),
-            MediaMeta(0, 0, 1, 16000, 500 + rng.nextInt(4500)))
+          // a REAL PCM-16 WAV: two-tone sine mixture + noise (seeded);
+          // StrictMath keeps the waveform bit-identical across JVMs
+          val sr = 8000
+          val n = 160 + rng.nextInt(480)
+          val f1 = 200 + rng.nextInt(1800)
+          val a1 = 4000 + rng.nextInt(8000)
+          val a2 = 1000 + rng.nextInt(4000)
+          val samples = Array.tabulate(n) { t =>
+            val v = a1 * StrictMath.sin(2 * StrictMath.PI * f1 * t / sr) +
+              a2 * StrictMath.sin(2 * StrictMath.PI * (2 * f1) * t / sr) +
+              (rng.nextInt(512) - 256)
+            math.max(Short.MinValue, math.min(Short.MaxValue, v.toInt)).toShort
+          }
+          MediaRow(i, kind, AudioCodec.encodeWav(sr, samples),
+            MediaMeta(0, 0, 1, sr, n * 1000 / sr))
         case _ =>
           val size = 256 + rng.nextInt(768)
           MediaRow(i, kind, Array.fill(size)(rng.nextInt(256).toByte),
@@ -70,12 +85,13 @@ object Multimodal {
     }
   }
 
-  /** ===== STUB (audio/video only) ===== Deterministic fake "decode +
-    * feature extraction": a 16-bin byte histogram, L1-normalized. A real
+  /** ===== STUB (video only) ===== Deterministic fake "decode + feature
+    * extraction": a 16-bin byte histogram, L1-normalized. A real
     * deployment swaps ONLY this body for a codec call (JNI/arrow batch);
     * the operator contract (batched iterator in, feature rows out) is the
-    * real, load-bearing part. Image rows never reach this — they decode
-    * for real via ImageCodec. */
+    * real, load-bearing part. Image and audio rows never reach this —
+    * they decode for real via ImageCodec / AudioCodec — except as the
+    * malformed-payload fallback. */
   def fakeDecodeFeatures(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Int](16)
     for (b <- payload) bins((b & 0xff) >> 4) += 1
@@ -84,17 +100,24 @@ object Multimodal {
   }
 
   /** Feature vector per row: images DECODE (PPM/BMP → pixels → 16-bin
-    * luminance histogram); audio/video fall through to the declared stub.
-    * An image payload that fails to decode also falls through — the
-    * operator never throws on malformed media (quarantine-adjacent
-    * behavior). */
+    * luminance histogram), audio DECODES (PCM-16 WAV → samples → 16-bin
+    * amplitude histogram); video falls through to the declared stub. A
+    * payload that fails to decode also falls through — the operator never
+    * throws on malformed media (quarantine-adjacent behavior). */
   def decodeFeatures(kind: String, payload: Array[Byte]): Array[Float] =
-    if (kind == "image")
-      ImageCodec.decode(payload) match {
-        case Some((_, _, rgb)) => ImageCodec.luminanceHistogram(rgb)
-        case None => fakeDecodeFeatures(payload)
-      }
-    else fakeDecodeFeatures(payload)
+    kind match {
+      case "image" =>
+        ImageCodec.decode(payload) match {
+          case Some((_, _, rgb)) => ImageCodec.luminanceHistogram(rgb)
+          case None => fakeDecodeFeatures(payload)
+        }
+      case "audio" =>
+        AudioCodec.decodeWav(payload) match {
+          case Some((_, _, samples)) => AudioCodec.amplitudeHistogram(samples)
+          case None => fakeDecodeFeatures(payload)
+        }
+      case _ => fakeDecodeFeatures(payload)
+    }
 
   val BatchSize = 64
 

@@ -433,6 +433,49 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio codec: WAV roundtrip, chunk walking, malformed fallback") {
+    import graft.ops.AudioCodec
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 5, -5, 12000)
+    val wav = AudioCodec.encodeWav(8000, samples)
+    assert(wav.length == 44 + samples.length * 2)
+    val Some((sr, ch, dec)) = AudioCodec.decodeWav(wav)
+    assert(sr == 8000 && ch == 1 && dec.sameElements(samples))
+    // an extra chunk before data is walked over, not tripped over
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val withChunk = wav.slice(0, 36) ++ extra ++ wav.slice(36, wav.length)
+    // fix RIFF size field (bytes 4-7) for the inserted 12 bytes
+    val riffLen = wav.length - 8 + extra.length
+    for (i <- 0 until 4) withChunk(4 + i) = ((riffLen >> (8 * i)) & 0xff).toByte
+    assert(AudioCodec.decodeWav(withChunk).exists(_._3.sameElements(samples)))
+    // garbage / truncated / non-PCM stays undecodable, never throws
+    assert(AudioCodec.decodeWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(AudioCodec.decodeWav("RIFFxxxxWAVE".getBytes ++ new Array[Byte](40)).isEmpty)
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // format tag != 1
+    assert(AudioCodec.decodeWav(nonPcm).isEmpty)
+  }
+
+  test("multimodal: audio features come from DECODED samples (amplitude " +
+      "histogram), not payload bytes") {
+    import graft.ops.AudioCodec
+    val media = Multimodal.syntheticMedia(spark, 9L)
+    val auds = media.filter(_.kind == "audio").collect()
+    assert(auds.nonEmpty)
+    for (m <- auds) {
+      val Some((sr, _, samples)) = AudioCodec.decodeWav(m.payload)
+      assert(sr == m.meta.sampleRate)
+      assert(m.meta.durationMs == samples.length * 1000 / sr)
+      val expected = AudioCodec.amplitudeHistogram(samples).toSeq
+      val got = Multimodal.decodeFeatures(m.kind, m.payload).toSeq
+      assert(got == expected)
+      assert(got != Multimodal.fakeDecodeFeatures(m.payload).toSeq)
+    }
+    // malformed audio payload falls through to the stub, never throws
+    val junk = Array.fill[Byte](64)(7)
+    assert(Multimodal.decodeFeatures("audio", junk).toSeq ==
+      Multimodal.fakeDecodeFeatures(junk).toSeq)
+  }
+
   test("multimodal: image features come from DECODED pixels (luminance " +
       "histogram), not payload bytes") {
     val media = Multimodal.syntheticMedia(spark, 9L)
