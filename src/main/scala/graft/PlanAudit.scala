@@ -14,7 +14,8 @@ object PlanAudit {
       "q11_minhash_neardups", "q12_simhash_neardups", "q13_ngram_jaccard",
       "q14_knn_bruteforce", "q15_langid_dist", "q16_token_stats",
       "q22_semi_by_brand", "q23_embed_neardup", "q25_quality",
-      "q26_embed_neardup_lsh")
+      "q26_embed_neardup_lsh", "q27_pii_redact", "q28_stratified_sample",
+      "q29_ann_ivf", "q30_golden_spans", "kg_timeline_golden")
     val sb = new StringBuilder
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)
