@@ -292,6 +292,39 @@ object SparkEntry {
           col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    "q31_contained_args" -> ((s, dir) => {
+      // J6 (interval-containment match) as a real non-equi JOIN, driver-
+      // checked: golden argument spans matched to the golden entity span
+      // that CONTAINS them (start >= entity start, end <= entity end) —
+      // the same interval predicate the reference's gold-trigger partial
+      // match uses (EventPipeline.tri_partial_match:87-98). Distinct arg
+      // spans (duplicate events in the goldens carry repeated arguments).
+      val ann = graft.sources.Sources.readAnnotationArray(s,
+        "/root/reference/component/Duration/Mu_test_data/test_ace.pred.json")
+      val args = ann
+        .select(col("rec_idx").cast("long").as("rec_idx"),
+          explode(col("events")).as("ev"))
+        .select(col("rec_idx"), explode(col("ev.arguments")).as("a"))
+        .select(col("rec_idx"), col("a.role").as("role"),
+          col("a.start_token").as("a_start"), col("a.end_token").as("a_end"))
+        .distinct()
+      val ents = ann
+        .select(col("rec_idx").cast("long").as("rec_idx"),
+          explode(col("ner")).as("n"))
+        .filter(size(col("n")) === 3)
+        .select(col("rec_idx"),
+          try_element_at(col("n"), lit(3)).as("ent_label"),
+          try_element_at(col("n"), lit(1)).cast("int").as("n_start"),
+          try_element_at(col("n"), lit(2)).cast("int").as("n_end"))
+      args.join(ents,
+          args("rec_idx") === ents("rec_idx") &&
+            ents("n_start") <= args("a_start") &&
+            args("a_end") <= ents("n_end"))
+        .select(args("rec_idx"), col("role"), col("a_start"), col("a_end"),
+          col("ent_label"), col("n_start"), col("n_end"))
+        .orderBy("rec_idx", "role", "a_start", "a_end", "ent_label",
+          "n_start", "n_end")
+    }),
     "kg_timeline_golden" -> ((s, dir) => {
       // A8 (timeline fit) made driver-checkable: temporal relations are
       // derived by the engine's LIVE connective stage (Taggers
@@ -444,6 +477,22 @@ object SparkEntry {
         |  CASE WHEN span = 0 THEN 0.0
         |       ELSE round_even((CAST(t - lo AS DOUBLE) / span) * 10000, 0) / 10000 END AS t
         |FROM tval, stats ORDER BY doc, eventId""".stripMargin,
+
+    // q31: the interval-containment join re-derived as plain SQL.
+    "q31_contained_args" ->
+      """WITH f AS (SELECT json(content) AS j FROM read_text('/root/reference/component/Duration/Mu_test_data/test_ace.pred.json')),
+        |recs AS (SELECT unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx, unnest(json_extract(j,'$[*]')) AS rec FROM f),
+        |args AS (SELECT DISTINCT rec_idx, a->>'$.role' AS role,
+        |           CAST(a->>'$.start_token' AS INTEGER) AS a_start, CAST(a->>'$.end_token' AS INTEGER) AS a_end
+        |         FROM (SELECT rec_idx, unnest(CAST(ev->'$.arguments' AS JSON[])) AS a
+        |               FROM (SELECT rec_idx, unnest(CAST(rec->'$.events' AS JSON[])) AS ev FROM recs))),
+        |ents AS (SELECT rec_idx, n->>'$[2]' AS ent_label,
+        |           CAST(n->>'$[0]' AS INTEGER) AS n_start, CAST(n->>'$[1]' AS INTEGER) AS n_end
+        |         FROM (SELECT rec_idx, unnest(CAST(rec->'$.ner' AS JSON[])) AS n FROM recs)
+        |         WHERE json_array_length(n) = 3)
+        |SELECT a.rec_idx, a.role, a.a_start, a.a_end, e.ent_label, e.n_start, e.n_end
+        |FROM args a JOIN ents e ON a.rec_idx = e.rec_idx AND e.n_start <= a.a_start AND a.a_end <= e.n_end
+        |ORDER BY a.rec_idx, a.role, a.a_start, a.a_end, e.ent_label, e.n_start, e.n_end""".stripMargin,
 
     // q30: every golden span re-derived directly from the JSON with
     // list_slice — the engine side goes through bioEncode -> bioDecode ->
