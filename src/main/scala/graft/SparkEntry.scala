@@ -292,6 +292,15 @@ object SparkEntry {
           col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    "q32_dedup_clusters" -> ((s, dir) =>
+      // cluster resolution over the exact n-gram Jaccard pairs (q13):
+      // connected components -> cluster_id = min member, keep = longest
+      // text. The oracle replays the q13 pair SQL, then union-find as a
+      // recursive CTE and the same canonical-selection window.
+      Dedup.dedupClusters(
+        t(s, dir, "documents"),
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 3, threshold = 0.5))
+        .orderBy("doc_id")),
     "q31_contained_args" -> ((s, dir) => {
       // J6 (interval-containment match) as a real non-equi JOIN, driver-
       // checked: golden argument spans matched to the golden entity span
@@ -477,6 +486,39 @@ object SparkEntry {
         |  CASE WHEN span = 0 THEN 0.0
         |       ELSE round_even((CAST(t - lo AS DOUBLE) / span) * 10000, 0) / 10000 END AS t
         |FROM tval, stats ORDER BY doc, eventId""".stripMargin,
+
+    // q32: q13's exact-Jaccard pair derivation + union-find as a
+    // recursive CTE + the canonical-selection window, all in SQL.
+    "q32_dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                          for i in range(1, len(w) - 1)])) AS g
+        |  FROM w WHERE len(w) >= 3),
+        |df AS (SELECT g, COUNT(*) AS df FROM g GROUP BY 1),
+        |kept AS (SELECT doc_id, t.g FROM g t JOIN df USING (g) WHERE df <= 100),
+        |n AS (SELECT doc_id, COUNT(*) AS nsh FROM kept GROUP BY 1),
+        |cand AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS common
+        |  FROM kept l JOIN kept r ON l.g = r.g AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2),
+        |prs AS (SELECT a, b FROM cand JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
+        |  WHERE common::DOUBLE / (na.nsh + nb.nsh - common) >= 0.5),
+        |edges AS (SELECT a AS src, b AS dst FROM prs UNION ALL SELECT b, a FROM prs),
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |reach(v, lbl) AS (SELECT v, v FROM verts
+        |  UNION SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.v),
+        |comp AS (SELECT v, MIN(lbl) AS cluster_id FROM reach GROUP BY v),
+        |lens AS (SELECT doc_id, length(text) AS tlen FROM documents),
+        |ranked AS (SELECT c.v AS doc_id, c.cluster_id, l.tlen,
+        |    row_number() OVER (PARTITION BY c.cluster_id ORDER BY l.tlen DESC, c.v) AS rn
+        |  FROM comp c JOIN lens l ON l.doc_id = c.v),
+        |clustered AS (SELECT doc_id, cluster_id, CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep FROM ranked),
+        |singles AS (SELECT doc_id, doc_id AS cluster_id, 1 AS keep FROM documents
+        |  WHERE doc_id NOT IN (SELECT v FROM comp))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(cluster_id AS BIGINT) AS cluster_id, CAST(keep AS INTEGER) AS keep
+        |FROM (SELECT * FROM clustered UNION ALL SELECT * FROM singles)
+        |ORDER BY doc_id""".stripMargin,
 
     // q31: the interval-containment join re-derived as plain SQL.
     "q31_contained_args" ->

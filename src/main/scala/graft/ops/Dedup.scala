@@ -329,4 +329,64 @@ object Dedup {
     docs.select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
+
+  // ---- cluster resolution (pairs -> keep/drop decisions) ----
+
+  /** Near-dup CLUSTER resolution — the step that turns pairwise evidence
+    * (from any of the five strategies above) into per-document keep/drop
+    * decisions: connected components over the (a, b) pair graph, cluster
+    * id = min member id, canonical member = the LONGEST text in the
+    * cluster (ties → smallest id; "keep the richest copy"), all other
+    * members dropped. Documents in no pair are singleton clusters, kept.
+    *
+    * Output: (idCol, cluster_id, keep ∈ {0,1}) — one row per document.
+    *
+    * CC strategy mirrors link/Canonicalize: the pair graph is usually
+    * TINY relative to the corpus (bounded by the near-dup rate), so up to
+    * `maxLocalEdges` pairs a driver-local union-find solves it exactly
+    * in one collect; larger graphs fall back to the distributed min-label
+    * propagation loop. Both yield the identical min-id labeling. */
+  def dedupClusters(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxLocalEdges: Int = 100000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+    val collected = edges.limit(maxLocalEdges + 1).collect()
+    val comp: DataFrame =
+      if (collected.length <= maxLocalEdges) {
+        val vids = collected.flatMap(e => Seq(e._1, e._2)).distinct
+        val parent = scala.collection.mutable.Map(vids.map(v => v -> v): _*)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        for ((s, d) <- collected) parent(find(s)) = find(d)
+        val minOfRoot = vids.groupBy(find).map { case (r, ms) => r -> ms.min }
+        vids.toSeq.map(v => (v, minOfRoot(find(v)))).toDF("vid", "cluster_id")
+      } else {
+        val e = edges.toDF("src", "dst")
+        val verts = e.select(col("src").as("vid"))
+          .union(e.select(col("dst").as("vid"))).distinct()
+        graft.link.Canonicalize.connectedComponents(spark, verts, e)
+          .withColumnRenamed("component", "cluster_id")
+      }
+    val lens = docs.select(col(idCol).cast("long").as("vid"),
+      length(col(textCol)).as("tlen"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("tlen").desc, col("vid"))
+    val clustered = comp.join(lens, "vid")
+      .withColumn("rn", row_number().over(w))
+      .select(col("vid").as(idCol), col("cluster_id"),
+        when(col("rn") === 1, 1).otherwise(0).as("keep"))
+    val singles = lens.join(comp, Seq("vid"), "left_anti")
+      .select(col("vid").as(idCol), col("vid").as("cluster_id"),
+        lit(1).as("keep"))
+    clustered.unionByName(singles)
+  }
 }

@@ -162,6 +162,30 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 == 3L && p._2 == 10003L), s"got $pairs")
   }
 
+  test("dedup clusters: transitive closure, longest-text canonical, singletons kept") {
+    val docs = Seq(
+      (1L, "short copy"), (2L, "short copy but slightly longer text"),
+      (3L, "short copy"), (10L, "pair one"), (11L, "pair one"),
+      (50L, "alone and unique here")).toDF("doc_id", "text")
+    // pair evidence: 1-2 and 2-3 (transitive -> {1,2,3}); 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Dedup.dedupClusters(docs, pairs)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 10L, 11L, 50L))
+    // transitive cluster {1,2,3} labeled by min id 1; doc 2 (longest) kept
+    assert(out.filter(r => Set(1L, 2L, 3L)(r._1)).forall(_._2 == 1L))
+    val keep = out.map(r => r._1 -> r._3).toMap
+    assert(keep(2L) == 1 && keep(1L) == 0 && keep(3L) == 0)
+    // equal-length tie in {10,11} -> smallest id kept
+    assert(keep(10L) == 1 && keep(11L) == 0)
+    // singleton: own cluster, kept
+    assert(out.find(_._1 == 50L).get == ((50L, 50L, 1)))
+    // local and distributed CC paths agree
+    val dist = Dedup.dedupClusters(docs, pairs, maxLocalEdges = 0)
+      .as[(Long, Long, Int)].collect().sortBy(_._1)
+    assert(dist.toSeq == out.toSeq)
+  }
+
   test("minhash hot-bucket cap: degenerate bucket dropped, audited, not silent") {
     // adversarial: 40 identical boilerplate docs -> every band bucket has
     // 40 members -> 780 candidate pairs per band without the cap (k²)
