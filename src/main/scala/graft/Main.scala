@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.corpus.Synth
+import graft.kg.Pipeline
+import graft.model.SourceFile
+
+/** The deployable KG-construction job — the spark-submit entry point the
+  * north rule names:
+  *
+  * {{{
+  * spark-submit --class graft.Main graft.jar <input> <outRoot>
+  * }}}
+  *
+  *   - `<input>`: a parquet path holding the north-rule source table
+  *     (repo, path, commit, lang, content), or `synth:<nFiles>[:<spf>]`
+  *     for the deterministic synthetic corpus;
+  *   - `<outRoot>`: the snapshot root — every stage commits an
+  *     Iceberg-style partitioned snapshot + manifest there
+  *     (Pipeline.runCheckpointed / kg.Store), so a rerun with the same
+  *     input resumes from the last committed stage.
+  *
+  * Unlike the driver mains (Bench/Verify/Scaling), NO master or
+  * parallelism is hardcoded here: the SparkSession comes from the ambient
+  * spark-submit config, so the same jar runs local[N], a N-executor
+  * cluster, or a 4N one (the scaling criterion's two cluster sizes)
+  * without change. `spark.sql.shuffle.partitions` is left to the
+  * deployment (AQE coalesces at runtime).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: graft.Main <inputParquet | synth:<nFiles>[:<spf>]> <outRoot>")
+      sys.exit(2)
+    }
+    val (input, outRoot) = (args(0), args(1))
+    val spark = SparkSession.builder()
+      .appName("graft-kg-build")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    import spark.implicits._
+
+    val files =
+      if (input.startsWith("synth:")) {
+        val parts = input.stripPrefix("synth:").split(":")
+        Synth.corpus(spark, parts(0).toLong,
+          parts.lift(1).map(_.toInt).getOrElse(8))
+      } else
+        spark.read.parquet(input)
+          .select("repo", "path", "commit", "lang", "content")
+          .as[SourceFile]
+
+    // input signature for resume verification: the argument string — a
+    // different input path (or synth size) invalidates committed stages
+    val t0 = System.nanoTime()
+    val triples = Pipeline.runCheckpointed(spark, files, outRoot, input)
+    val n = triples.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(s"""{"triples":$n,"sec":$wall,"out":"$outRoot","input":"$input"}""")
+    spark.stop()
+  }
+}
