@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Store {
 
+  /** `metrics`: (partition, parquetFiles, bytes) per first-level output
+    * partition — the snapshot-size side of the per-partition lineage the
+    * north rule asks for; `wallSec` is the stage's compute+write time. */
   case class Manifest(stage: String, inputSig: String, rows: Long,
       lineage: Seq[(String, Long)], committedAtNanos: Long,
-      schemaJson: String)
+      schemaJson: String, metrics: Seq[(String, Long, Long)] = Seq.empty,
+      wallSec: Double = 0.0)
 
   private def q(s: String): String =
     "\"" + s.flatMap {
@@ -45,9 +49,15 @@ object Store {
     val lineageJson = m.lineage
       .map { case (p, n) => s"{${q("partition")}:${q(p)},${q("rows")}:$n}" }
       .mkString("[", ",", "]")
+    val metricsJson = m.metrics
+      .map { case (p, f, b) =>
+        s"{${q("partition")}:${q(p)},${q("files")}:$f,${q("bytes")}:$b}" }
+      .mkString("[", ",", "]")
     val json =
       s"{${q("stage")}:${q(m.stage)},${q("inputSig")}:${q(m.inputSig)}," +
         s"${q("rows")}:${m.rows},${q("lineage")}:$lineageJson," +
+        s"${q("metrics")}:$metricsJson," +
+        s"${q("wall_sec")}:${m.wallSec}," +
         s"${q("committedAtNanos")}:${m.committedAtNanos}," +
         s"${q("schema")}:${q(m.schemaJson)}}"
     val tmp = dir.resolve(s"${m.stage}.json.tmp")
@@ -106,6 +116,7 @@ object Store {
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         spark.read.schema(schema).parquet(dataPath)
       case _ =>
+        val t0 = System.nanoTime()
         val df = compute
         val hasRepo = df.columns.contains("repo")
         val writer = df.write.mode("overwrite")
@@ -117,9 +128,38 @@ object Store {
               .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
           else Seq(("*", committed.count()))
         val rows = lineage.map(_._2).sum
+        val wallSec = (System.nanoTime() - t0) / 1e9
         writeManifest(root, Manifest(stage, inputSig, rows, lineage,
-          System.nanoTime(), df.schema.json))
+          System.nanoTime(), df.schema.json, partitionMetrics(dataPath),
+          wallSec))
         committed
     }
+  }
+
+  /** (partition, parquetFiles, bytes) per first-level partition directory
+    * of a committed snapshot (the whole snapshot as partition "*" when the
+    * stage is unpartitioned) — a local-filesystem walk; on a warehouse
+    * store this is the file-listing the table format already maintains. */
+  def partitionMetrics(dataPath: String): Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val rootDir = Paths.get(dataPath)
+    if (!Files.isDirectory(rootDir)) return Seq.empty
+    def filesUnder(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.walk(p)
+      try s.iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet")).toVector
+      finally s.close()
+    }
+    val parts = Files.list(rootDir)
+    val top = try parts.iterator().asScala.toVector finally parts.close()
+    val partDirs = top.filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.contains("="))
+    val groups: Seq[(String, Seq[java.nio.file.Path])] =
+      if (partDirs.nonEmpty)
+        partDirs.map(d => d.getFileName.toString -> filesUnder(d))
+      else Seq("*" -> filesUnder(rootDir))
+    groups.map { case (name, fs) =>
+      (name, fs.length.toLong, fs.map(Files.size).sum)
+    }.sortBy(_._1)
   }
 }

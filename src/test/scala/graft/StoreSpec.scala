@@ -36,6 +36,13 @@ class StoreSpec extends AnyFunSuite {
     val manifest = Files.readString(Store.manifestPath(root, "sentences"))
     assert(manifest.contains("\"lineage\""))
     assert(manifest.contains("\"partition\""))
+    // per-partition metrics: non-zero bytes/files per repo=* partition,
+    // and a stage wall time
+    assert(manifest.contains("\"metrics\"") && manifest.contains("\"bytes\""))
+    assert(manifest.contains("\"wall_sec\""))
+    val metrics = Store.partitionMetrics(s"$root/sentences")
+    assert(metrics.nonEmpty && metrics.forall { case (p, f, b) =>
+      p.startsWith("repo=") && f > 0 && b > 0 })
   }
 
   test("rerun resumes every committed stage — compute closures never invoked") {
