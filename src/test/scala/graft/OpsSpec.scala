@@ -477,6 +477,14 @@ class OpsSpec extends AnyFunSuite {
     assert(AudioCodec.decodeWav("RIFFxxxxWAVE".getBytes ++ new Array[Byte](40)).isEmpty)
     val nonPcm = wav.clone(); nonPcm(20) = 3 // format tag != 1
     assert(AudioCodec.decodeWav(nonPcm).isEmpty)
+    // property: decode(encode(x)) == x over 200 random seeded signals
+    val rng = new scala.util.Random(99)
+    for (_ <- 1 to 200) {
+      val xs = Array.fill(rng.nextInt(400))(rng.nextInt(65536).toShort)
+      val sr = 1 + rng.nextInt(48000)
+      val Some((gotSr, _, got)) = AudioCodec.decodeWav(AudioCodec.encodeWav(sr, xs))
+      assert(gotSr == sr && got.sameElements(xs))
+    }
   }
 
   test("multimodal: audio features come from DECODED samples (amplitude " +
