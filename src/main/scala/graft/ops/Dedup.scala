@@ -351,7 +351,6 @@ object Dedup {
       maxLocalEdges: Int = 100000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     val edges = pairs.select(col("a").cast("long"), col("b").cast("long"))
       .as[(Long, Long)]
     val collected = edges.limit(maxLocalEdges + 1).collect()
@@ -378,12 +377,18 @@ object Dedup {
       }
     val lens = docs.select(col(idCol).cast("long").as("vid"),
       length(col(textCol)).as("tlen"))
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("tlen").desc, col("vid"))
-    val clustered = comp.join(lens, "vid")
-      .withColumn("rn", row_number().over(w))
+    // canonical member via min_by aggregation, NOT a per-cluster window:
+    // a web-scale boilerplate cluster (millions of members under one
+    // cluster_id) would make a window sort a single hot partition, while
+    // the aggregate partial-combines map-side — skew never reaches one
+    // task. Order: longest text first, then smallest id.
+    val members = comp.join(lens, "vid")
+    val canon = members.groupBy("cluster_id")
+      .agg(min_by(col("vid"),
+        struct((lit(0L) - col("tlen")).as("nt"), col("vid"))).as("keep_vid"))
+    val clustered = members.join(canon, "cluster_id")
       .select(col("vid").as(idCol), col("cluster_id"),
-        when(col("rn") === 1, 1).otherwise(0).as("keep"))
+        when(col("vid") === col("keep_vid"), 1).otherwise(0).as("keep"))
     val singles = lens.join(comp, Seq("vid"), "left_anti")
       .select(col("vid").as(idCol), col("vid").as("cluster_id"),
         lit(1).as("keep"))
