@@ -378,9 +378,14 @@ object SparkEntry {
       // with list_slice, so a decode quirk or an off-by-one in either
       // direction hash-fails. NER spans encode per sentence; trigger and
       // argument spans per event (the reference's X1 expansion shape).
+      // ALL FIVE golden corpora (7,843 sentences) — the full span surface.
       import s.implicits._
-      val ann = graft.sources.Sources.readAnnotationArray(s,
-        "/root/reference/component/Duration/Mu_test_data/test_ace.pred.json")
+      val ann = Seq("test_ace", "test_tbd", "dev_ace", "dev_tbd", "train_tbd")
+        .map { f =>
+          graft.sources.Sources.readAnnotationArray(s,
+            s"/root/reference/component/Duration/Mu_test_data/$f.pred.json")
+            .withColumn("src", lit(f))
+        }.reduce(_ unionByName _)
       import graft.text.Text
       import graft.text.Text.SpanLabel
       import org.apache.spark.sql.Row
@@ -389,9 +394,10 @@ object SparkEntry {
         Text.bioDecode(Text.bioEncode(tokens.length, spans), b2i)
       }
       ann.select(col("rec_idx").cast("long"), col("tokens"), col("events"),
-          col("ner"))
+          col("ner"), col("src"))
         .flatMap { r =>
           val rec = r.getLong(0)
+          val src = r.getString(4)
           val tokens: Seq[String] =
             Option(r.getSeq[String](1)).getOrElse(Seq.empty)
           def nested(row: Row, f: String): scala.collection.Seq[Row] =
@@ -414,12 +420,13 @@ object SparkEntry {
                 _.getAs[String]("role"))).map(("argument", _))
             }
           out.map { case (kind, sp) =>
-            (rec, kind, sp.label, sp.start, sp.end,
+            (src, rec, kind, sp.label, sp.start, sp.end,
               Text.spanText(tokens, sp.start, sp.end))
           }
         }
-        .toDF("rec_idx", "kind", "label", "start_tok", "end_tok", "span_text")
-        .orderBy("rec_idx", "kind", "start_tok", "end_tok", "label")
+        .toDF("src", "rec_idx", "kind", "label", "start_tok", "end_tok",
+          "span_text")
+        .orderBy("src", "rec_idx", "kind", "start_tok", "end_tok", "label")
     }),
     "q29_ann_ivf" -> ((s, dir) => {
       // IVF ANN: data-adaptive coarse quantizer (deterministic k-means,
@@ -542,29 +549,34 @@ object SparkEntry {
     // are value-checked against an independent derivation on 832 real
     // reference-annotated sentences.
     "q30_golden_spans" ->
-      """WITH f AS (SELECT json(content) AS j FROM read_text('/root/reference/component/Duration/Mu_test_data/test_ace.pred.json')),
-        |recs AS (SELECT unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx,
+      """WITH f AS (SELECT regexp_extract(filename, '([a-z_]+)\.pred\.json', 1) AS src, json(content) AS j
+        |           FROM read_text(['/root/reference/component/Duration/Mu_test_data/test_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/train_tbd.pred.json'])),
+        |recs AS (SELECT src, unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx,
         |                unnest(json_extract(j, '$[*]')) AS rec FROM f),
-        |tok AS (SELECT rec_idx, CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens, rec FROM recs),
-        |nerrows AS (SELECT rec_idx, tokens, unnest(CAST(rec->'$.ner' AS JSON[])) AS n FROM tok),
-        |ner AS (SELECT rec_idx, 'ner' AS kind, n->>'$[2]' AS label,
+        |tok AS (SELECT src, rec_idx, CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens, rec FROM recs),
+        |nerrows AS (SELECT src, rec_idx, tokens, unnest(CAST(rec->'$.ner' AS JSON[])) AS n FROM tok),
+        |ner AS (SELECT src, rec_idx, 'ner' AS kind, n->>'$[2]' AS label,
         |        CAST(n->>'$[0]' AS INTEGER) AS start_tok, CAST(n->>'$[1]' AS INTEGER) AS end_tok,
         |        array_to_string(tokens[CAST(n->>'$[0]' AS INTEGER)+1 : CAST(n->>'$[1]' AS INTEGER)+1], ' ') AS span_text
         |        FROM nerrows),
-        |evrows AS (SELECT rec_idx, tokens, unnest(CAST(rec->'$.events' AS JSON[])) AS ev FROM tok),
-        |trigrows AS (SELECT rec_idx, tokens, unnest(CAST(ev->'$.triggers' AS JSON[])) AS tr FROM evrows),
-        |trig AS (SELECT rec_idx, 'trigger' AS kind, tr->>'$.event_type' AS label,
+        |evrows AS (SELECT src, rec_idx, tokens, unnest(CAST(rec->'$.events' AS JSON[])) AS ev FROM tok),
+        |trigrows AS (SELECT src, rec_idx, tokens, unnest(CAST(ev->'$.triggers' AS JSON[])) AS tr FROM evrows),
+        |trig AS (SELECT src, rec_idx, 'trigger' AS kind, tr->>'$.event_type' AS label,
         |        CAST(tr->>'$.start_token' AS INTEGER) AS start_tok, CAST(tr->>'$.end_token' AS INTEGER) AS end_tok,
         |        array_to_string(tokens[CAST(tr->>'$.start_token' AS INTEGER)+1 : CAST(tr->>'$.end_token' AS INTEGER)+1], ' ') AS span_text
         |        FROM trigrows),
-        |argrows AS (SELECT rec_idx, tokens, unnest(CAST(ev->'$.arguments' AS JSON[])) AS a FROM evrows),
-        |args AS (SELECT rec_idx, 'argument' AS kind, a->>'$.role' AS label,
+        |argrows AS (SELECT src, rec_idx, tokens, unnest(CAST(ev->'$.arguments' AS JSON[])) AS a FROM evrows),
+        |args AS (SELECT src, rec_idx, 'argument' AS kind, a->>'$.role' AS label,
         |        CAST(a->>'$.start_token' AS INTEGER) AS start_tok, CAST(a->>'$.end_token' AS INTEGER) AS end_tok,
         |        array_to_string(tokens[CAST(a->>'$.start_token' AS INTEGER)+1 : CAST(a->>'$.end_token' AS INTEGER)+1], ' ') AS span_text
         |        FROM argrows)
-        |SELECT rec_idx, kind, label, start_tok, end_tok, span_text
+        |SELECT src, rec_idx, kind, label, start_tok, end_tok, span_text
         |FROM (SELECT * FROM ner UNION ALL SELECT * FROM trig UNION ALL SELECT * FROM args)
-        |ORDER BY rec_idx, kind, start_tok, end_tok, label""".stripMargin,
+        |ORDER BY src, rec_idx, kind, start_tok, end_tok, label""".stripMargin,
 
     // kg_from_annotations: full SQL re-derivation of the KG relational
     // back half over the reference golden snapshot — JSON explode, P5
