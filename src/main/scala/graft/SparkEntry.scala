@@ -46,6 +46,16 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** All five reference golden corpora as one annotation frame with a
+    * `src` column (shared by the golden-data queries q30/q33). */
+  private def goldenAnn(s: SparkSession): DataFrame =
+    Seq("test_ace", "test_tbd", "dev_ace", "dev_tbd", "train_tbd")
+      .map { f =>
+        graft.sources.Sources.readAnnotationArray(s,
+          s"/root/reference/component/Duration/Mu_test_data/$f.pred.json")
+          .withColumn("src", lit(f))
+      }.reduce(_ unionByName _)
+
   /** One entry per implemented operator from SURVEY.md §2 (+ the
     * training-data ops the engine adds). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -292,6 +302,38 @@ object SparkEntry {
           col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    "q33_copular_predicates" -> ((s, dir) => {
+      // P13 + K4 driver-checked: Text.copularPredicate (copula-extended
+      // predicate span, 5-word cap with "...") over every golden trigger
+      // head in all five corpora; the oracle re-derives the back-scan /
+      // verbal-heuristic / cap rules in pure SQL list comprehensions.
+      import s.implicits._
+      import org.apache.spark.sql.Row
+      import graft.text.Text
+      goldenAnn(s)
+        .select(col("src"), col("rec_idx").cast("long"), col("tokens"),
+          col("events"))
+        .flatMap { r =>
+          val src = r.getString(0)
+          val rec = r.getLong(1)
+          val tokens: Seq[String] =
+            Option(r.getSeq[String](2)).getOrElse(Seq.empty)
+          val events = Option(r.getAs[scala.collection.Seq[Row]]("events"))
+            .getOrElse(scala.collection.Seq.empty)
+          val heads = events.flatMap { ev =>
+            Option(ev.getAs[scala.collection.Seq[Row]]("triggers"))
+              .getOrElse(scala.collection.Seq.empty)
+              .map(_.getAs[Int]("start_token"))
+          }.distinct.sorted
+          heads.map { root =>
+            val (text, span, _) = Text.copularPredicate(tokens, root)
+            (src, rec, root, span.head, span.last, text)
+          }
+        }
+        .toDF("src", "rec_idx", "root_idx", "span_start", "span_end",
+          "pred_text")
+        .orderBy("src", "rec_idx", "root_idx")
+    }),
     "q32_dedup_clusters" -> ((s, dir) =>
       // cluster resolution over the exact n-gram Jaccard pairs (q13):
       // connected components -> cluster_id = min member, keep = longest
@@ -380,12 +422,7 @@ object SparkEntry {
       // argument spans per event (the reference's X1 expansion shape).
       // ALL FIVE golden corpora (7,843 sentences) — the full span surface.
       import s.implicits._
-      val ann = Seq("test_ace", "test_tbd", "dev_ace", "dev_tbd", "train_tbd")
-        .map { f =>
-          graft.sources.Sources.readAnnotationArray(s,
-            s"/root/reference/component/Duration/Mu_test_data/$f.pred.json")
-            .withColumn("src", lit(f))
-        }.reduce(_ unionByName _)
+      val ann = goldenAnn(s)
       import graft.text.Text
       import graft.text.Text.SpanLabel
       import org.apache.spark.sql.Row
@@ -493,6 +530,48 @@ object SparkEntry {
         |  CASE WHEN span = 0 THEN 0.0
         |       ELSE round_even((CAST(t - lo AS DOUBLE) / span) * 10000, 0) / 10000 END AS t
         |FROM tval, stats ORDER BY doc, eventId""".stripMargin,
+
+    // q33: the copular-predicate rules (back-scan to the nearest BE-form
+    // inside the clause, verbal-root heuristic, clause-end extension,
+    // 5-word cap) re-derived in SQL list comprehensions. 1-based list
+    // positions throughout; `rootp` = root_idx + 1. (DuckDB identifiers
+    // are case-insensitive — a column named `R` beside `r` silently
+    // collides, hence the longhand names.)
+    "q33_copular_predicates" ->
+      """WITH f AS (SELECT regexp_extract(filename, '([a-z_]+)\.pred\.json', 1) AS src, json(content) AS j
+        |           FROM read_text(['/root/reference/component/Duration/Mu_test_data/test_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/train_tbd.pred.json'])),
+        |recs AS (SELECT src, unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx, unnest(json_extract(j,'$[*]')) AS rec FROM f),
+        |tok AS (SELECT src, rec_idx, CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens, rec FROM recs),
+        |heads AS (SELECT DISTINCT src, rec_idx, CAST(tr->>'$.start_token' AS INTEGER) AS root_idx
+        |          FROM (SELECT src, rec_idx, unnest(CAST(ev->'$.triggers' AS JSON[])) AS tr
+        |                FROM (SELECT src, rec_idx, unnest(CAST(rec->'$.events' AS JSON[])) AS ev FROM tok))),
+        |base AS (SELECT h.src, h.rec_idx, h.root_idx, t.tokens, [lower(x) for x in t.tokens] AS low,
+        |                len(t.tokens) AS n, h.root_idx + 1 AS rootp
+        |         FROM heads h JOIN tok t USING (src, rec_idx)),
+        |calc AS (SELECT src, rec_idx, root_idx, tokens, n, rootp, low,
+        |  (list_contains(['is','are','was','were','be','been','being','am','''s','''re','''m'], low[rootp])
+        |   OR ((low[rootp] LIKE '%ed' OR low[rootp] LIKE '%ing') AND length(low[rootp]) > 4)) AS isv,
+        |  COALESCE(list_max([i for i in range(1, rootp) if list_contains([',','.',';','that'], low[i])]), 0) AS dpos
+        |  FROM base),
+        |calc2 AS (SELECT src, rec_idx, root_idx, tokens, n, rootp, isv,
+        |  CASE WHEN isv THEN 0 ELSE
+        |    COALESCE(list_max([i for i in range(dpos + 1, rootp) if list_contains(['is','are','was','were','be','been','being','am','''s','''re','''m'], low[i])]), 0)
+        |  END AS cop,
+        |  COALESCE(list_min([i for i in range(rootp + 1, n + 1) if list_contains([',','.','!','?',';'], tokens[i])]), n + 1) - 1 AS endp
+        |  FROM calc),
+        |spans AS (SELECT src, rec_idx, root_idx, tokens,
+        |  CASE WHEN cop > 0 THEN cop ELSE rootp END AS sp,
+        |  CASE WHEN cop > 0 THEN endp ELSE rootp END AS ep
+        |  FROM calc2)
+        |SELECT src, rec_idx, root_idx, sp - 1 AS span_start, ep - 1 AS span_end,
+        |  CASE WHEN ep - sp + 1 > 5
+        |       THEN array_to_string(tokens[sp : sp + 4], ' ') || '...'
+        |       ELSE array_to_string(tokens[sp : ep], ' ') END AS pred_text
+        |FROM spans ORDER BY src, rec_idx, root_idx""".stripMargin,
 
     // q32: q13's exact-Jaccard pair derivation + union-find as a
     // recursive CTE + the canonical-selection window, all in SQL.
