@@ -302,6 +302,28 @@ object SparkEntry {
           col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    "q34_negation_scope" -> ((s, dir) => {
+      // P8 + negation cue/scope driver-checked on real data: the engine's
+      // LIVE Taggers.negationCues (multiword cues, lexicon cues, affix
+      // lexicon, the manual ['not'] override) and negationScope over
+      // every golden sentence; the oracle re-derives all of it in SQL.
+      import s.implicits._
+      import org.apache.spark.sql.Row
+      import graft.tag.Taggers
+      goldenAnn(s)
+        .select(col("src"), col("rec_idx").cast("long"), col("tokens"))
+        .flatMap { r =>
+          val src = r.getString(0)
+          val rec = r.getLong(1)
+          val tokens: Seq[String] =
+            Option(r.getSeq[String](2)).getOrElse(Seq.empty)
+          val cs = Taggers.negationCues(tokens)
+          val sc = Taggers.negationScope(tokens, cs)
+          tokens.indices.map(i => (src, rec, i, cs(i), sc(i)))
+        }
+        .toDF("src", "rec_idx", "tok_idx", "cue", "in_scope")
+        .orderBy("src", "rec_idx", "tok_idx")
+    }),
     "q33_copular_predicates" -> ((s, dir) => {
       // P13 + K4 driver-checked: Text.copularPredicate (copula-extended
       // predicate span, 5-word cap with "...") over every golden trigger
@@ -530,6 +552,39 @@ object SparkEntry {
         |  CASE WHEN span = 0 THEN 0.0
         |       ELSE round_even((CAST(t - lo AS DOUBLE) / span) * 10000, 0) / 10000 END AS t
         |FROM tval, stats ORDER BY doc, eventId""".stripMargin,
+
+    // q34: the negation cue labeling (0=affix, 1=cue, 2=multiword part,
+    // 3=none; manual 'not' override wins) and first-cue-to-sentence-end
+    // scope, re-derived per token in SQL.
+    "q34_negation_scope" ->
+      """WITH f AS (SELECT regexp_extract(filename, '([a-z_]+)\.pred\.json', 1) AS src, json(content) AS j
+        |           FROM read_text(['/root/reference/component/Duration/Mu_test_data/test_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/train_tbd.pred.json'])),
+        |recs AS (SELECT src, unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx, unnest(json_extract(j,'$[*]')) AS rec FROM f),
+        |tok AS (SELECT src, rec_idx, CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens,
+        |               [lower(x) for x in CAST(rec->'$.tokens' AS VARCHAR[])] AS low FROM recs
+        |        WHERE len(CAST(rec->'$.tokens' AS VARCHAR[])) > 0),
+        |pos AS (SELECT src, rec_idx, tokens, low, len(tokens) AS n,
+        |               unnest(range(1, len(tokens) + 1)) AS ip FROM tok),
+        |lab AS (SELECT src, rec_idx, tokens, n, ip,
+        |  CASE WHEN low[ip] = 'not' THEN 1
+        |       WHEN len([s for s in range(greatest(1, ip - 2), ip + 1)
+        |                 if s + 2 <= n AND ((low[s] = 'by' AND low[s+1] = 'no' AND low[s+2] = 'means')
+        |                                 OR (low[s] = 'not' AND low[s+1] = 'at' AND low[s+2] = 'all'))]) > 0 THEN 2
+        |       WHEN list_contains(['not','n''t','never','no','without','cannot'], low[ip]) THEN 1
+        |       WHEN list_contains(['unable','unlikely','unavailable','unconfirmed','unverified','impossible','improbable','disallowed','disabled','disproved'], low[ip]) THEN 0
+        |       ELSE 3 END AS cue
+        |  FROM pos),
+        |firsts AS (SELECT src, rec_idx, MIN(ip) AS firstp FROM lab WHERE cue <> 3 GROUP BY src, rec_idx)
+        |SELECT l.src, l.rec_idx, CAST(l.ip - 1 AS INTEGER) AS tok_idx, l.cue,
+        |  CASE WHEN fi.firstp IS NULL THEN 0
+        |       WHEN l.ip >= fi.firstp AND NOT list_contains(['.','!','?'], l.tokens[l.ip]) THEN 1
+        |       ELSE 0 END AS in_scope
+        |FROM lab l LEFT JOIN firsts fi USING (src, rec_idx)
+        |ORDER BY src, rec_idx, tok_idx""".stripMargin,
 
     // q33: the copular-predicate rules (back-scan to the nearest BE-form
     // inside the clause, verbal-root heuristic, clause-end extension,
