@@ -302,6 +302,32 @@ object SparkEntry {
           col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    "q35_head_evidence" -> ((s, dir) => {
+      // The TempRel head-detection evidence channels driver-checked on
+      // real data: Taggers.headEvidence (lexical channel via lemmaOf +
+      // trigger/TempRel lexicons; morphological channel via the irregular
+      // past-form table + -ed heuristic) per golden token, plus the A1
+      // mean>0.5 head decision. The oracle inlines the lexicons and the
+      // normLemma suffix rules in SQL.
+      import s.implicits._
+      import graft.tag.Taggers
+      goldenAnn(s)
+        .select(col("src"), col("rec_idx").cast("long"), col("tokens"))
+        .flatMap { r =>
+          val src = r.getString(0)
+          val rec = r.getLong(1)
+          val tokens: Seq[String] =
+            Option(r.getSeq[String](2)).getOrElse(Seq.empty)
+          tokens.indices.map { i =>
+            val Seq(lex, morph) = Taggers.headEvidence(tokens(i))
+            (src, rec, i, lex, morph,
+              if ((lex + morph) / 2 > 0.5) 1 else 0)
+          }
+        }
+        .toDF("src", "rec_idx", "tok_idx", "lexical", "morphological",
+          "is_head")
+        .orderBy("src", "rec_idx", "tok_idx")
+    }),
     "q34_negation_scope" -> ((s, dir) => {
       // P8 + negation cue/scope driver-checked on real data: the engine's
       // LIVE Taggers.negationCues (multiword cues, lexicon cues, affix
@@ -552,6 +578,44 @@ object SparkEntry {
         |  CASE WHEN span = 0 THEN 0.0
         |       ELSE round_even((CAST(t - lo AS DOUBLE) / span) * 10000, 0) / 10000 END AS t
         |FROM tval, stats ORDER BY doc, eventId""".stripMargin,
+
+    // q35: headEvidence re-derived in SQL — irregular-lemma VALUES,
+    // normLemma CASE chain, lexicon membership, the -ed morphology
+    // heuristic, and the A1 mean>0.5 decision.
+    "q35_head_evidence" ->
+      """WITH f AS (SELECT regexp_extract(filename, '([a-z_]+)\.pred\.json', 1) AS src, json(content) AS j
+        |           FROM read_text(['/root/reference/component/Duration/Mu_test_data/test_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/train_tbd.pred.json'])),
+        |irr(surface, lemma) AS (VALUES ('acquired','acquire'), ('acquitted','acquit'), ('announced','announce'), ('appealed','appeal'), ('appointed','appoint'), ('arrested','arrest'), ('arrived','arrive'), ('attacked','attack'), ('began','begin'), ('bombed','bomb'), ('bought','buy'), ('called','call'), ('charged','charge'), ('continued','continue'), ('convicted','convict'), ('decided','decide'), ('deployed','deploy'), ('died','die'), ('dissolved','dissolve'), ('divorced','divorce'), ('donated','donate'), ('elected','elect'), ('ended','end'), ('executed','execute'), ('expected','expect'), ('extradited','extradite'), ('fined','fine'), ('founded','found'), ('happened','happen'), ('hired','hire'), ('indicted','indict'), ('injured','injure'), ('invaded','invade'), ('jailed','jail'), ('left','leave'), ('marched','march'), ('married','marry'), ('merged','merge'), ('met','meet'), ('nominated','nominate'), ('paid','pay'), ('pardoned','pardon'), ('paroled','parole'), ('perished','perish'), ('planned','plan'), ('protested','protest'), ('reported','report'), ('resigned','resign'), ('retired','retire'), ('returned','return'), ('said','say'), ('sentenced','sentence'), ('sold','sell'), ('sued','sue'), ('testified','testify'), ('toured','tour'), ('traveled','travel'), ('visited','visit'), ('wed','wed'), ('wounded','wound'), ('wrote','write')),
+        |recs AS (SELECT src, unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx, unnest(json_extract(j,'$[*]')) AS rec FROM f),
+        |tok AS (SELECT src, rec_idx, CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens FROM recs
+        |        WHERE len(CAST(rec->'$.tokens' AS VARCHAR[])) > 0),
+        |pos AS (SELECT src, rec_idx, unnest(range(1, len(tokens) + 1)) AS ip, tokens FROM tok),
+        |tr AS (SELECT src, rec_idx, CAST(ip - 1 AS INTEGER) AS tok_idx, lower(tokens[ip]) AS lo FROM pos),
+        |base AS (SELECT t.src, t.rec_idx, t.tok_idx, t.lo, i.lemma AS irrlemma,
+        |                regexp_replace(t.lo, '''s$', '') AS b0
+        |         FROM tr t LEFT JOIN irr i ON i.surface = t.lo),
+        |lem AS (SELECT src, rec_idx, tok_idx, lo, irrlemma,
+        |  COALESCE(irrlemma,
+        |    CASE WHEN length(b0)>4 AND b0 LIKE '%ies' THEN substr(b0,1,length(b0)-3)||'y'
+        |         WHEN length(b0)>4 AND b0 LIKE '%ing' THEN substr(b0,1,length(b0)-3)
+        |         WHEN length(b0)>3 AND b0 LIKE '%ed' THEN substr(b0,1,length(b0)-2)
+        |         WHEN length(b0)>3 AND b0 LIKE '%es' THEN substr(b0,1,length(b0)-2)
+        |         WHEN length(b0)>3 AND b0 LIKE '%s' AND NOT b0 LIKE '%ss' THEN substr(b0,1,length(b0)-1)
+        |         ELSE b0 END) AS lemma
+        |  FROM base),
+        |ev AS (SELECT src, rec_idx, tok_idx,
+        |  CAST(CASE WHEN list_contains(['acquire', 'acquit', 'announce', 'appeal', 'appoint', 'arrest', 'arrive', 'attack', 'bankrupt', 'begin', 'bomb', 'born', 'buy', 'call', 'charge', 'consider', 'continue', 'convict', 'decide', 'deploy', 'die', 'dissolve', 'divorce', 'donate', 'elect', 'end', 'execute', 'expect', 'extradite', 'fine', 'found', 'happen', 'hire', 'indict', 'injure', 'invade', 'jail', 'launch', 'leave', 'march', 'marry', 'meet', 'merge', 'nominate', 'pardon', 'parole', 'pay', 'perish', 'plan', 'protest', 'report', 'resign', 'retire', 'return', 'say', 'sell', 'sentence', 'sue', 'testify', 'tour', 'travel', 'visit', 'wed', 'wound', 'write'], lemma) THEN 0.9 ELSE 0.1 END AS DOUBLE) AS lexical,
+        |  CAST(CASE WHEN irrlemma IS NOT NULL THEN 0.8
+        |            WHEN lo LIKE '%ed' AND length(lo) > 4 THEN 0.6
+        |            ELSE 0.2 END AS DOUBLE) AS morphological
+        |  FROM lem)
+        |SELECT src, rec_idx, tok_idx, lexical, morphological,
+        |  CASE WHEN (lexical + morphological) / 2 > 0.5 THEN 1 ELSE 0 END AS is_head
+        |FROM ev ORDER BY src, rec_idx, tok_idx""".stripMargin,
 
     // q34: the negation cue labeling (0=affix, 1=cue, 2=multiword part,
     // 3=none; manual 'not' override wins) and first-cue-to-sentence-end
