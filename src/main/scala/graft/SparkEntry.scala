@@ -302,6 +302,23 @@ object SparkEntry {
           col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    "q36_tokenize" -> ((s, dir) => {
+      // P1 — the shared deterministic tokenizer itself — driver-checked:
+      // Text.tokenize over every document, one row per token; the oracle
+      // re-derives the whole rule set in SQL (leading-punct strip,
+      // iterative trailing strip with the dotted-acronym stop as a
+      // max-stop-position comprehension, n't / possessive contraction
+      // splits, per-chunk token ordering).
+      import s.implicits._
+      t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.text.Text.tokenize(text).zipWithIndex
+            .map { case (tok, i) => (id, i, tok) }
+        }
+        .toDF("doc_id", "tok_idx", "token")
+        .orderBy("doc_id", "tok_idx")
+    }),
     "q35_head_evidence" -> ((s, dir) => {
       // The TempRel head-detection evidence channels driver-checked on
       // real data: Taggers.headEvidence (lexical channel via lemmaOf +
@@ -578,6 +595,53 @@ object SparkEntry {
         |  CASE WHEN span = 0 THEN 0.0
         |       ELSE round_even((CAST(t - lo AS DOUBLE) / span) * 10000, 0) / 10000 END AS t
         |FROM tval, stats ORDER BY doc, eventId""".stripMargin,
+
+    // q36: the full tokenizer rule set in SQL; the iterative
+    // trailing-punct strip becomes "largest stop position" over a
+    // list comprehension (scanning down from the end, the first stop
+    // hit IS the maximal stopping length).
+    "q36_tokenize" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |chunks AS (SELECT doc_id, c, ci FROM (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(replace(text, chr(10), ' '), '\s+')) AS c,
+        |    unnest(range(1, len(regexp_split_to_array(replace(text, chr(10), ' '), '\s+')) + 1)) AS ci
+        |  FROM docs) WHERE c <> ''),
+        |lead AS (SELECT doc_id, ci, c, length(c) AS m,
+        |  COALESCE(list_min([j for j in range(1, length(c) + 1)
+        |    if NOT list_contains(['"','''','(','[','{',chr(8220),chr(8221),chr(8216),chr(8217),chr(171)], substr(c, CAST(j AS INTEGER), 1))]), length(c) + 1) - 1 AS nlead
+        |  FROM chunks),
+        |core0 AS (SELECT doc_id, ci, c, nlead, substr(c, nlead + 1) AS c1, length(c) - nlead AS m1 FROM lead),
+        |core1 AS (SELECT doc_id, ci, c, nlead, c1, m1,
+        |  COALESCE(list_max([L for L in range(1, m1 + 1)
+        |    if NOT list_contains(['.',',',';',':','!','?','"','''',')',']','}',chr(8220),chr(8221),chr(8216),chr(8217),chr(187)], substr(c1, CAST(L AS INTEGER), 1))
+        |       OR (substr(c1, CAST(L AS INTEGER), 1) = '.' AND regexp_matches(substr(c1, 1, CAST(L AS INTEGER)), '^([A-Za-z]\.)+$'))]), 0) AS mcore
+        |  FROM core0),
+        |split1 AS (SELECT doc_id, ci, c, nlead, c1, m1, mcore,
+        |  substr(c1, 1, mcore) AS core,
+        |  lower(substr(c1, 1, mcore)) AS lowcore
+        |  FROM core1),
+        |parts AS (SELECT doc_id, ci, c, nlead, c1, m1, mcore,
+        |  CASE WHEN mcore = 0 THEN []
+        |       WHEN lowcore LIKE '%n''t' AND mcore > 3
+        |         THEN [x for x in [substr(core, 1, mcore - 3), substr(core, mcore - 2)] if x <> '']
+        |       WHEN (lowcore LIKE '%''s' OR lowcore LIKE '%''re' OR lowcore LIKE '%''ve'
+        |             OR lowcore LIKE '%''ll' OR lowcore LIKE '%''d' OR lowcore LIKE '%''m')
+        |            AND strpos(reverse(core), '''') > 0
+        |            AND mcore - strpos(reverse(core), '''') + 1 > 1
+        |         THEN [x for x in [substr(core, 1, mcore - strpos(reverse(core), '''')),
+        |                           substr(core, mcore - strpos(reverse(core), '''') + 1)] if x <> '']
+        |       ELSE [core] END AS plist
+        |  FROM split1),
+        |toks AS (SELECT doc_id, ci,
+        |  [substr(c, CAST(j AS INTEGER), 1) for j in range(1, nlead + 1)]
+        |  || plist
+        |  || [substr(c1, CAST(j AS INTEGER), 1) for j in range(mcore + 1, m1 + 1)] AS tl
+        |  FROM parts),
+        |perdoc AS (SELECT doc_id, flatten(list(tl ORDER BY ci)) AS alltoks FROM toks GROUP BY doc_id)
+        |SELECT doc_id, CAST(unnest(range(1, len(alltoks) + 1)) - 1 AS INTEGER) AS tok_idx,
+        |       unnest(alltoks) AS token
+        |FROM perdoc ORDER BY doc_id, tok_idx""".stripMargin,
 
     // q35: headEvidence re-derived in SQL — irregular-lemma VALUES,
     // normLemma CASE chain, lexicon membership, the -ed morphology
