@@ -302,6 +302,31 @@ object SparkEntry {
           col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    "q37_sentsplit" -> ((s, dir) => {
+      // S1's segmentation half driver-checked: Text.sentSplit over every
+      // document plus planted multi-sentence rows (the corpus documents
+      // are single sentences, so the planted rows exercise the boundary
+      // rules: abbreviation guard, decimal guard, closing-quote/paren
+      // consumption, uppercase/digit lookahead). Oracle = the whole rule
+      // set in SQL (independent per-position boundary conditions + lag
+      // window reassembly).
+      import s.implicits._
+      val planted = Seq(
+        (9000011L, "Dr. Smith arrived at 3.5 p.m. sharp. The meeting began. It ended quickly!"),
+        (9000012L, "The U.S. Army moved fast. Gen. Brown spoke to Sgt. Reyes. All clear?"),
+        (9000013L, "Costs rose 3.5 percent. (Not all agreed.) \"It works.\" She said so."),
+        (9000014L, "He waited... Then left. Mr. Jones (b. 1970) waved. Versions 2.0 and 3.1 shipped."))
+        .toDF("doc_id", "text")
+      t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .unionByName(planted)
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.text.Text.sentSplit(text).zipWithIndex
+            .map { case (sent, i) => (id, i, sent) }
+        }
+        .toDF("doc_id", "sent_idx", "sentence")
+        .orderBy("doc_id", "sent_idx")
+    }),
     "q36_tokenize" -> ((s, dir) => {
       // P1 — the shared deterministic tokenizer itself — driver-checked:
       // Text.tokenize over every document, one row per token; the oracle
@@ -595,6 +620,61 @@ object SparkEntry {
         |  CASE WHEN span = 0 THEN 0.0
         |       ELSE round_even((CAST(t - lo AS DOUBLE) / span) * 10000, 0) / 10000 END AS t
         |FROM tval, stats ORDER BY doc, eventId""".stripMargin,
+
+    // q37: sentence segmentation in SQL — every boundary condition is
+    // position-independent (lookahead j/k, abbreviation word, decimal
+    // guard), so boundaries are a list comprehension and sentences
+    // reassemble with a lag window.
+    "q37_sentsplit" ->
+      """WITH docs AS (SELECT doc_id, text FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+        |                UNION ALL SELECT * FROM (VALUES
+        |   (9000011, 'Dr. Smith arrived at 3.5 p.m. sharp. The meeting began. It ended quickly!'),
+        |   (9000012, 'The U.S. Army moved fast. Gen. Brown spoke to Sgt. Reyes. All clear?'),
+        |   (9000013, 'Costs rose 3.5 percent. (Not all agreed.) "It works." She said so.'),
+        |   (9000014, 'He waited... Then left. Mr. Jones (b. 1970) waved. Versions 2.0 and 3.1 shipped.')) v(doc_id, text))
+        |  WHERE text IS NOT NULL AND text <> ''),
+        |b0 AS (SELECT doc_id, text, length(text) AS n,
+        |  [i for i in range(1, length(text) + 1) if list_contains(['.','!','?'], substr(text, CAST(i AS INTEGER), 1))] AS cand
+        |  FROM docs),
+        |cands AS (SELECT doc_id, text, n, unnest(cand) AS bi FROM b0),
+        |jk AS (SELECT doc_id, text, n, bi,
+        |  COALESCE(list_min([j for j in range(bi + 1, n + 1)
+        |     if NOT list_contains(['"', '''', ')'], substr(text, CAST(j AS INTEGER), 1))]), n + 1) AS jp
+        |  FROM cands),
+        |jk2 AS (SELECT doc_id, text, n, bi, jp,
+        |  COALESCE(list_min([k for k in range(jp, n + 1)
+        |     if NOT regexp_matches(substr(text, CAST(k AS INTEGER), 1), '^\s$')]), n + 1) AS kp
+        |  FROM jk),
+        |cond AS (SELECT doc_id, text, n, bi, jp, kp,
+        |  substr(text, CAST(bi AS INTEGER), 1) AS bc,
+        |  (kp > jp OR kp = n + 1) AS boundary_cand,
+        |  (kp = n + 1 OR regexp_matches(substr(text, CAST(kp AS INTEGER), 1), '^[\p{Lu}0-9"]$')) AS nextok,
+        |  COALESCE(list_max([w for w in range(1, bi) if regexp_matches(substr(text, CAST(w AS INTEGER), 1), '^\s$')]), 0) AS wpos
+        |  FROM jk2),
+        |cond2 AS (SELECT doc_id, text, n, bi, jp, kp, boundary_cand, nextok, bc,
+        |  regexp_replace(regexp_replace(lower(substr(text, CAST(wpos + 1 AS INTEGER), CAST(bi - wpos - 1 AS INTEGER))), '^\(', ''), '^"', '') AS word
+        |  FROM cond),
+        |bnd AS (SELECT doc_id, text, n, bi, jp, kp FROM cond2
+        |  WHERE boundary_cand AND nextok
+        |    AND NOT (bc = '.' AND (list_contains(['apr', 'aug', 'capt', 'dec', 'dr', 'e.g', 'etc', 'feb', 'gen', 'gov', 'i.e', 'jan', 'jr', 'jul', 'jun', 'lt', 'mar', 'mr', 'mrs', 'ms', 'nov', 'oct', 'prof', 'sep', 'sept', 'sgt', 'sr', 'st', 'u.k', 'u.n', 'u.s', 'vs'], word)
+        |                           OR regexp_matches(word, '^[a-z]$')
+        |                           OR regexp_matches(word, '[0-9]$')))
+        |    AND NOT (bc = '.' AND bi < n AND regexp_matches(substr(text, CAST(bi + 1 AS INTEGER), 1), '^[0-9]$'))),
+        |-- sentence t spans [start_t, j_t): start_0 = 1, start_{t+1} = k_t
+        |seq AS (SELECT doc_id, text, n, bi, jp, kp,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY bi) AS rn,
+        |  lag(kp) OVER (PARTITION BY doc_id ORDER BY bi) AS prev_k
+        |  FROM bnd),
+        |pieces AS (SELECT doc_id, rn, trim(substr(text, CAST(COALESCE(prev_k, 1) AS INTEGER), CAST(jp - COALESCE(prev_k, 1) AS INTEGER))) AS s
+        |  FROM seq),
+        |tails AS (SELECT d.doc_id, COALESCE(mx.mrn, 0) + 1 AS rn,
+        |  trim(substr(d.text, CAST(COALESCE(mx.lastk, 1) AS INTEGER))) AS s
+        |  FROM docs d LEFT JOIN (SELECT doc_id, MAX(rn) AS mrn, MAX(kp) AS lastk FROM seq GROUP BY doc_id) mx USING (doc_id)),
+        |allp AS (SELECT * FROM pieces UNION ALL SELECT * FROM tails),
+        |nonempty AS (SELECT doc_id, rn, s, row_number() OVER (PARTITION BY doc_id ORDER BY rn) - 1 AS sent_idx
+        |  FROM allp WHERE s <> '')
+        |SELECT doc_id, CAST(sent_idx AS INTEGER) AS sent_idx, s AS sentence
+        |FROM nonempty ORDER BY doc_id, sent_idx""".stripMargin,
 
     // q36: the full tokenizer rule set in SQL; the iterative
     // trailing-punct strip becomes "largest stop position" over a
