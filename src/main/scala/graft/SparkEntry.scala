@@ -302,6 +302,28 @@ object SparkEntry {
           col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    "q38_gazetteer_ner" -> ((s, dir) => {
+      // The NER tagging stage (§2.10-1's gazetteer emissions + Viterbi
+      // BIO decode) driver-checked on real data: Taggers.nerSpans over
+      // every golden sentence; the oracle simulates the greedy
+      // longest-match scan (with its skip semantics) as a recursive-CTE
+      // cursor walk over the inlined gazetteer — so the Viterbi decode
+      // provably reads the emissions off into exactly those spans.
+      import s.implicits._
+      import graft.tag.Taggers
+      goldenAnn(s)
+        .select(col("src"), col("rec_idx").cast("long"), col("tokens"))
+        .flatMap { r =>
+          val src = r.getString(0)
+          val rec = r.getLong(1)
+          val tokens: Seq[String] =
+            Option(r.getSeq[String](2)).getOrElse(Seq.empty)
+          Taggers.nerSpans(tokens).map(sp =>
+            (src, rec, sp.start, sp.end, sp.label))
+        }
+        .toDF("src", "rec_idx", "start_tok", "end_tok", "label")
+        .orderBy("src", "rec_idx", "start_tok")
+    }),
     "q37_sentsplit" -> ((s, dir) => {
       // S1's segmentation half driver-checked: Text.sentSplit over every
       // document plus planted multi-sentence rows (the corpus documents
@@ -620,6 +642,39 @@ object SparkEntry {
         |  CASE WHEN span = 0 THEN 0.0
         |       ELSE round_even((CAST(t - lo AS DOUBLE) / span) * 10000, 0) / 10000 END AS t
         |FROM tval, stats ORDER BY doc, eventId""".stripMargin,
+
+    // q38: the greedy longest-match gazetteer scan (skip semantics
+    // included) simulated as a recursive-CTE cursor walk.
+    "q38_gazetteer_ner" ->
+      """WITH RECURSIVE f AS (SELECT regexp_extract(filename, '([a-z_]+)\.pred\.json', 1) AS src, json(content) AS j
+        |           FROM read_text(['/root/reference/component/Duration/Mu_test_data/test_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/train_tbd.pred.json'])),
+        |g2(w1, w2, typ) AS (VALUES ('George','Pataki','PER'), ('Mary','Jones','PER'), ('John','Smith','PER'), ('Elena','Garcia','PER'), ('Wei','Chen','PER'), ('Amir','Hassan','PER'), ('the','president','PER'), ('the','governor','PER'), ('the','senator','PER'), ('New','York','GPE'), ('the','Army','ORG'), ('the','Senate','ORG'), ('Acme','Corp','ORG'), ('Globex','Inc','ORG'), ('the','court','ORG'), ('the','police','ORG'), ('the','airport','FAC'), ('the','bridge','FAC'), ('the','hospital','FAC'), ('the','river','LOC'), ('the','border','LOC'), ('a','truck','VEH'), ('the','convoy','VEH'), ('a','rifle','WEA'), ('the','missile','WEA'), ('Persian','Gulf','LOC')),
+        |g1(w1, typ) AS (VALUES ('Baghdad','GPE'), ('France','GPE'), ('Texas','GPE'), ('Kabul','GPE'), ('California','GPE'), ('U.S.','GPE'), ('Army','ORG'), ('soldiers','PER'), ('region','LOC'), ('governor','PER'), ('counties','GPE'), ('Pataki','PER'), ('Jones','PER'), ('Smith','PER'), ('Garcia','PER'), ('Chen','PER'), ('Hassan','PER')),
+        |recs AS (SELECT src, unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx, unnest(json_extract(j,'$[*]')) AS rec FROM f),
+        |tok AS (SELECT src, rec_idx, CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens, len(CAST(rec->'$.tokens' AS VARCHAR[])) AS n FROM recs
+        |        WHERE len(CAST(rec->'$.tokens' AS VARCHAR[])) > 0),
+        |walk(src, rec_idx, cur, mstart, mend, mtyp) AS (
+        |  SELECT src, rec_idx, 1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR) FROM tok
+        |  UNION ALL
+        |  SELECT w.src, w.rec_idx,
+        |    CASE WHEN m2.typ IS NOT NULL THEN w.cur + 2 ELSE w.cur + 1 END,
+        |    CASE WHEN m2.typ IS NOT NULL OR m1.typ IS NOT NULL THEN w.cur ELSE NULL END,
+        |    CASE WHEN m2.typ IS NOT NULL THEN w.cur + 1
+        |         WHEN m1.typ IS NOT NULL THEN w.cur ELSE NULL END,
+        |    COALESCE(m2.typ, m1.typ)
+        |  FROM walk w
+        |  JOIN tok t ON t.src = w.src AND t.rec_idx = w.rec_idx
+        |  LEFT JOIN g2 m2 ON w.cur + 1 <= t.n AND t.tokens[w.cur] = m2.w1 AND t.tokens[w.cur + 1] = m2.w2
+        |  LEFT JOIN g1 m1 ON m2.typ IS NULL AND t.tokens[w.cur] = m1.w1
+        |  WHERE w.cur <= t.n)
+        |SELECT src, rec_idx, CAST(mstart - 1 AS INTEGER) AS start_tok,
+        |       CAST(mend - 1 AS INTEGER) AS end_tok, mtyp AS label
+        |FROM walk WHERE mstart IS NOT NULL
+        |ORDER BY src, rec_idx, start_tok""".stripMargin,
 
     // q37: sentence segmentation in SQL — every boundary condition is
     // position-independent (lookahead j/k, abbreviation word, decimal
