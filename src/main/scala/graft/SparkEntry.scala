@@ -302,6 +302,30 @@ object SparkEntry {
           col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    "q39_trigger_spans" -> ((s, dir) => {
+      // The trigger tagging stage (P11a entity mask + lexicon emissions +
+      // B-merge Viterbi decode) driver-checked on real data: the LIVE
+      // Taggers.triggerSpans over its own nerSpans output per golden
+      // sentence. The oracle composes the q38 gazetteer walk (entity
+      // mask), the q35 lemma derivation, the inlined trigger lexicon and
+      // a gaps-and-islands run merge (adjacent same-type B tags merge —
+      // the reference's B2I[B]=B convention).
+      import s.implicits._
+      import graft.tag.Taggers
+      goldenAnn(s)
+        .select(col("src"), col("rec_idx").cast("long"), col("tokens"))
+        .flatMap { r =>
+          val src = r.getString(0)
+          val rec = r.getLong(1)
+          val tokens: Seq[String] =
+            Option(r.getSeq[String](2)).getOrElse(Seq.empty)
+          Taggers.triggerSpans(tokens, Taggers.nerSpans(tokens)).map(tr =>
+            (src, rec, tr.eventType, tr.text, tr.start, tr.end))
+        }
+        .toDF("src", "rec_idx", "event_type", "trig_text", "start_tok",
+          "end_tok")
+        .orderBy("src", "rec_idx", "start_tok")
+    }),
     "q38_gazetteer_ner" -> ((s, dir) => {
       // The NER tagging stage (§2.10-1's gazetteer emissions + Viterbi
       // BIO decode) driver-checked on real data: Taggers.nerSpans over
@@ -642,6 +666,75 @@ object SparkEntry {
         |  CASE WHEN span = 0 THEN 0.0
         |       ELSE round_even((CAST(t - lo AS DOUBLE) / span) * 10000, 0) / 10000 END AS t
         |FROM tval, stats ORDER BY doc, eventId""".stripMargin,
+
+    // q39: entity-masked trigger lexicon + adjacent-B run merge in
+    // SQL (gazetteer walk for the mask, lemma CASE chain, inlined
+    // trigger lexicon, gaps-and-islands span merge).
+    "q39_trigger_spans" ->
+      """WITH RECURSIVE f AS (SELECT regexp_extract(filename, '([a-z_]+)\.pred\.json', 1) AS src, json(content) AS j
+        |           FROM read_text(['/root/reference/component/Duration/Mu_test_data/test_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/train_tbd.pred.json'])),
+        |g2(w1, w2) AS (VALUES ('George','Pataki'), ('Mary','Jones'), ('John','Smith'), ('Elena','Garcia'), ('Wei','Chen'), ('Amir','Hassan'), ('the','president'), ('the','governor'), ('the','senator'), ('New','York'), ('the','Army'), ('the','Senate'), ('Acme','Corp'), ('Globex','Inc'), ('the','court'), ('the','police'), ('the','airport'), ('the','bridge'), ('the','hospital'), ('the','river'), ('the','border'), ('a','truck'), ('the','convoy'), ('a','rifle'), ('the','missile'), ('Persian','Gulf')),
+        |g1(w1) AS (VALUES ('Baghdad'), ('France'), ('Texas'), ('Kabul'), ('California'), ('U.S.'), ('Army'), ('soldiers'), ('region'), ('governor'), ('counties'), ('Pataki'), ('Jones'), ('Smith'), ('Garcia'), ('Chen'), ('Hassan')),
+        |irr(surface, lemma) AS (VALUES ('acquired','acquire'), ('acquitted','acquit'), ('announced','announce'), ('appealed','appeal'), ('appointed','appoint'), ('arrested','arrest'), ('arrived','arrive'), ('attacked','attack'), ('began','begin'), ('bombed','bomb'), ('bought','buy'), ('called','call'), ('charged','charge'), ('continued','continue'), ('convicted','convict'), ('decided','decide'), ('deployed','deploy'), ('died','die'), ('dissolved','dissolve'), ('divorced','divorce'), ('donated','donate'), ('elected','elect'), ('ended','end'), ('executed','execute'), ('expected','expect'), ('extradited','extradite'), ('fined','fine'), ('founded','found'), ('happened','happen'), ('hired','hire'), ('indicted','indict'), ('injured','injure'), ('invaded','invade'), ('jailed','jail'), ('left','leave'), ('marched','march'), ('married','marry'), ('merged','merge'), ('met','meet'), ('nominated','nominate'), ('paid','pay'), ('pardoned','pardon'), ('paroled','parole'), ('perished','perish'), ('planned','plan'), ('protested','protest'), ('reported','report'), ('resigned','resign'), ('retired','retire'), ('returned','return'), ('said','say'), ('sentenced','sentence'), ('sold','sell'), ('sued','sue'), ('testified','testify'), ('toured','tour'), ('traveled','travel'), ('visited','visit'), ('wed','wed'), ('wounded','wound'), ('wrote','write')),
+        |tl(lemma, typ) AS (VALUES ('acquire','Transaction:Transfer-Ownership'), ('acquit','Justice:Acquit'), ('appeal','Justice:Appeal'), ('appoint','Personnel:Start-Position'), ('arrest','Justice:Arrest-Jail'), ('arrive','Movement:Transport'), ('attack','Conflict:Attack'), ('bankrupt','Business:Declare-Bankruptcy'), ('bomb','Conflict:Attack'), ('born','Life:Be-Born'), ('buy','Transaction:Transfer-Ownership'), ('call','Contact:Phone-Write'), ('charge','Justice:Charge-Indict'), ('convict','Justice:Convict'), ('deploy','Movement:Transport'), ('die','Life:Die'), ('dissolve','Business:End-Org'), ('divorce','Life:Divorce'), ('donate','Transaction:Transfer-Money'), ('elect','Personnel:Elect'), ('execute','Justice:Execute'), ('extradite','Justice:Extradite'), ('fine','Justice:Fine'), ('found','Business:Start-Org'), ('hire','Personnel:Start-Position'), ('indict','Justice:Charge-Indict'), ('injure','Life:Injure'), ('invade','Conflict:Attack'), ('jail','Justice:Arrest-Jail'), ('launch','Business:Start-Org'), ('march','Conflict:Demonstrate'), ('marry','Life:Marry'), ('meet','Contact:Meet'), ('merge','Business:Merge-Org'), ('nominate','Personnel:Nominate'), ('pardon','Justice:Pardon'), ('parole','Justice:Release-Parole'), ('pay','Transaction:Transfer-Money'), ('perish','Life:Die'), ('protest','Conflict:Demonstrate'), ('resign','Personnel:End-Position'), ('retire','Personnel:End-Position'), ('sell','Transaction:Transfer-Ownership'), ('sentence','Justice:Sentence'), ('sue','Justice:Sue'), ('testify','Justice:Trial-Hearing'), ('tour','Movement:Transport'), ('travel','Movement:Transport'), ('visit','Contact:Meet'), ('wed','Life:Marry'), ('wound','Life:Injure'), ('write','Contact:Phone-Write')),
+        |recs AS (SELECT src, unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx, unnest(json_extract(j,'$[*]')) AS rec FROM f),
+        |tok AS (SELECT src, rec_idx, CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens, len(CAST(rec->'$.tokens' AS VARCHAR[])) AS n FROM recs
+        |        WHERE len(CAST(rec->'$.tokens' AS VARCHAR[])) > 0),
+        |walk(src, rec_idx, cur, mstart, mend) AS (
+        |  SELECT src, rec_idx, 1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM tok
+        |  UNION ALL
+        |  SELECT w.src, w.rec_idx,
+        |    CASE WHEN m2.w1 IS NOT NULL THEN w.cur + 2 ELSE w.cur + 1 END,
+        |    CASE WHEN m2.w1 IS NOT NULL OR m1.w1 IS NOT NULL THEN w.cur ELSE NULL END,
+        |    CASE WHEN m2.w1 IS NOT NULL THEN w.cur + 1
+        |         WHEN m1.w1 IS NOT NULL THEN w.cur ELSE NULL END
+        |  FROM walk w
+        |  JOIN tok t ON t.src = w.src AND t.rec_idx = w.rec_idx
+        |  LEFT JOIN g2 m2 ON w.cur + 1 <= t.n AND t.tokens[w.cur] = m2.w1 AND t.tokens[w.cur + 1] = m2.w2
+        |  LEFT JOIN g1 m1 ON m2.w1 IS NULL AND t.tokens[w.cur] = m1.w1
+        |  WHERE w.cur <= t.n),
+        |entpos AS (SELECT DISTINCT src, rec_idx, unnest(range(mstart, mend + 1)) AS ip
+        |           FROM walk WHERE mstart IS NOT NULL),
+        |pos AS (SELECT src, rec_idx, tokens, n, unnest(range(1, n + 1)) AS ip FROM tok),
+        |lems AS (SELECT p.src, p.rec_idx, p.ip, p.tokens, p.n, lower(p.tokens[p.ip]) AS lo,
+        |  regexp_replace(lower(p.tokens[p.ip]), '''s$', '') AS b0, i.lemma AS irrlemma,
+        |  e.ip IS NOT NULL AS is_ent
+        |  FROM pos p
+        |  LEFT JOIN irr i ON i.surface = lower(p.tokens[p.ip])
+        |  LEFT JOIN entpos e ON e.src = p.src AND e.rec_idx = p.rec_idx AND e.ip = p.ip),
+        |typed AS (SELECT l.src, l.rec_idx, l.ip, l.tokens, l.n, t.typ
+        |  FROM (SELECT src, rec_idx, ip, tokens, n,
+        |          COALESCE(irrlemma,
+        |            CASE WHEN length(b0)>4 AND b0 LIKE '%ies' THEN substr(b0,1,length(b0)-3)||'y'
+        |                 WHEN length(b0)>4 AND b0 LIKE '%ing' THEN substr(b0,1,length(b0)-3)
+        |                 WHEN length(b0)>3 AND b0 LIKE '%ed' THEN substr(b0,1,length(b0)-2)
+        |                 WHEN length(b0)>3 AND b0 LIKE '%es' THEN substr(b0,1,length(b0)-2)
+        |                 WHEN length(b0)>3 AND b0 LIKE '%s' AND NOT b0 LIKE '%ss' THEN substr(b0,1,length(b0)-1)
+        |                 ELSE b0 END) AS lemma
+        |        FROM lems WHERE NOT is_ent) l
+        |  JOIN tl t ON t.lemma = l.lemma),
+        |runs AS (SELECT src, rec_idx, ip, tokens, n, typ,
+        |  ip - row_number() OVER (PARTITION BY src, rec_idx, typ ORDER BY ip) AS grp
+        |  FROM typed),
+        |runspan AS (SELECT src, rec_idx, typ, MIN(ip) AS a, MAX(ip) AS b,
+        |  any_value(tokens) AS tokens, any_value(n) AS n
+        |  FROM runs GROUP BY src, rec_idx, typ, grp),
+        |-- bioDecode's B-reset (B2I[B]=B): a same-type B run nets ONE span at its
+        |-- LAST token; a run that reaches the final token additionally emits the
+        |-- penultimate-start span first (the iob_to_obj end-of-sequence quirk)
+        |spans AS (
+        |  SELECT src, rec_idx, typ, b AS sp, b AS ep, tokens FROM runspan
+        |  UNION ALL
+        |  SELECT src, rec_idx, typ, b - 1 AS sp, b AS ep, tokens FROM runspan
+        |  WHERE b = n AND b > a)
+        |SELECT src, rec_idx, typ AS event_type,
+        |  array_to_string(tokens[sp : ep], ' ') AS trig_text,
+        |  CAST(sp - 1 AS INTEGER) AS start_tok, CAST(ep - 1 AS INTEGER) AS end_tok
+        |FROM spans ORDER BY src, rec_idx, start_tok""".stripMargin,
 
     // q38: the greedy longest-match gazetteer scan (skip semantics
     // included) simulated as a recursive-CTE cursor walk.

@@ -21,7 +21,11 @@ object Taggers {
     Ontology.EntTypes.map(t => s"B-$t" -> s"I-$t").toMap
 
   /** Trigger tag space: O + B-×33 (B-only; I mapped back to B,
-    * event_pipeline_demo.py:71-78 — single-token triggers). */
+    * event_pipeline_demo.py:71-78 — single-token triggers). Note the
+    * decode consequence (pinned by the q39 oracle): with B2I[B]=B,
+    * bioDecode's B-reset nets a run of adjacent same-type B tags to ONE
+    * span at the run's LAST token (plus iob_to_obj's end-of-sequence
+    * double-emission when the run reaches the final token). */
   val TriggerLabels: Array[String] =
     "O" +: Ontology.EventTypes.map(t => s"B-$t").toArray
   val TriggerB2I: Map[String, String] =
