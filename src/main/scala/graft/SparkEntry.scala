@@ -302,6 +302,33 @@ object SparkEntry {
           col("n_phones"), sha2(col("redacted"), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    "q40_argument_spans" -> ((s, dir) => {
+      // The argument tagging stage — the most intricate rule stage
+      // (clause segmentation, RoleMap subject/object roles, ACE
+      // role↔entity-type compatibility, prep-marked-location exclusion,
+      // P11b/P11c masks + Viterbi decode) — driver-checked on real data:
+      // the LIVE Taggers.argumentSpans per (sentence, trigger) over the
+      // engine's own NER and trigger outputs. The oracle re-derives the
+      // entire selection pipeline in SQL on top of the q38/q39 scaffolds.
+      import s.implicits._
+      import graft.tag.Taggers
+      goldenAnn(s)
+        .select(col("src"), col("rec_idx").cast("long"), col("tokens"))
+        .flatMap { r =>
+          val src = r.getString(0)
+          val rec = r.getLong(1)
+          val tokens: Seq[String] =
+            Option(r.getSeq[String](2)).getOrElse(Seq.empty)
+          val ner = Taggers.nerSpans(tokens)
+          for {
+            t <- Taggers.triggerSpans(tokens, ner)
+            a <- Taggers.argumentSpans(tokens, ner, t)
+          } yield (src, rec, t.start, a.role, a.start, a.end, a.text)
+        }
+        .toDF("src", "rec_idx", "trig_start", "role", "arg_start",
+          "arg_end", "arg_text")
+        .orderBy("src", "rec_idx", "trig_start", "role", "arg_start")
+    }),
     "q39_trigger_spans" -> ((s, dir) => {
       // The trigger tagging stage (P11a entity mask + lexicon emissions +
       // B-merge Viterbi decode) driver-checked on real data: the LIVE
@@ -666,6 +693,113 @@ object SparkEntry {
         |  CASE WHEN span = 0 THEN 0.0
         |       ELSE round_even((CAST(t - lo AS DOUBLE) / span) * 10000, 0) / 10000 END AS t
         |FROM tval, stats ORDER BY doc, eventId""".stripMargin,
+
+    // q40: the argument selection pipeline in SQL — segment bounds
+    // via delimiter comprehensions, RoleMap VALUES, compatibility
+    // CASEs, windowed last-subject / first-object / last-location
+    // picks with the prep-marked and chosen-object exclusions.
+    "q40_argument_spans" ->
+      """WITH RECURSIVE f AS (SELECT regexp_extract(filename, '([a-z_]+)\.pred\.json', 1) AS src, json(content) AS j
+        |           FROM read_text(['/root/reference/component/Duration/Mu_test_data/test_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/train_tbd.pred.json'])),
+        |g2(w1, w2, typ) AS (VALUES ('George','Pataki','PER'), ('Mary','Jones','PER'), ('John','Smith','PER'), ('Elena','Garcia','PER'), ('Wei','Chen','PER'), ('Amir','Hassan','PER'), ('the','president','PER'), ('the','governor','PER'), ('the','senator','PER'), ('New','York','GPE'), ('the','Army','ORG'), ('the','Senate','ORG'), ('Acme','Corp','ORG'), ('Globex','Inc','ORG'), ('the','court','ORG'), ('the','police','ORG'), ('the','airport','FAC'), ('the','bridge','FAC'), ('the','hospital','FAC'), ('the','river','LOC'), ('the','border','LOC'), ('a','truck','VEH'), ('the','convoy','VEH'), ('a','rifle','WEA'), ('the','missile','WEA'), ('Persian','Gulf','LOC')),
+        |g1(w1, typ) AS (VALUES ('Baghdad','GPE'), ('France','GPE'), ('Texas','GPE'), ('Kabul','GPE'), ('California','GPE'), ('U.S.','GPE'), ('Army','ORG'), ('soldiers','PER'), ('region','LOC'), ('governor','PER'), ('counties','GPE'), ('Pataki','PER'), ('Jones','PER'), ('Smith','PER'), ('Garcia','PER'), ('Chen','PER'), ('Hassan','PER')),
+        |irr(surface, lemma) AS (VALUES ('acquired','acquire'), ('acquitted','acquit'), ('announced','announce'), ('appealed','appeal'), ('appointed','appoint'), ('arrested','arrest'), ('arrived','arrive'), ('attacked','attack'), ('began','begin'), ('bombed','bomb'), ('bought','buy'), ('called','call'), ('charged','charge'), ('continued','continue'), ('convicted','convict'), ('decided','decide'), ('deployed','deploy'), ('died','die'), ('dissolved','dissolve'), ('divorced','divorce'), ('donated','donate'), ('elected','elect'), ('ended','end'), ('executed','execute'), ('expected','expect'), ('extradited','extradite'), ('fined','fine'), ('founded','found'), ('happened','happen'), ('hired','hire'), ('indicted','indict'), ('injured','injure'), ('invaded','invade'), ('jailed','jail'), ('left','leave'), ('marched','march'), ('married','marry'), ('merged','merge'), ('met','meet'), ('nominated','nominate'), ('paid','pay'), ('pardoned','pardon'), ('paroled','parole'), ('perished','perish'), ('planned','plan'), ('protested','protest'), ('reported','report'), ('resigned','resign'), ('retired','retire'), ('returned','return'), ('said','say'), ('sentenced','sentence'), ('sold','sell'), ('sued','sue'), ('testified','testify'), ('toured','tour'), ('traveled','travel'), ('visited','visit'), ('wed','wed'), ('wounded','wound'), ('wrote','write')),
+        |tl(lemma, typ) AS (VALUES ('acquire','Transaction:Transfer-Ownership'), ('acquit','Justice:Acquit'), ('appeal','Justice:Appeal'), ('appoint','Personnel:Start-Position'), ('arrest','Justice:Arrest-Jail'), ('arrive','Movement:Transport'), ('attack','Conflict:Attack'), ('bankrupt','Business:Declare-Bankruptcy'), ('bomb','Conflict:Attack'), ('born','Life:Be-Born'), ('buy','Transaction:Transfer-Ownership'), ('call','Contact:Phone-Write'), ('charge','Justice:Charge-Indict'), ('convict','Justice:Convict'), ('deploy','Movement:Transport'), ('die','Life:Die'), ('dissolve','Business:End-Org'), ('divorce','Life:Divorce'), ('donate','Transaction:Transfer-Money'), ('elect','Personnel:Elect'), ('execute','Justice:Execute'), ('extradite','Justice:Extradite'), ('fine','Justice:Fine'), ('found','Business:Start-Org'), ('hire','Personnel:Start-Position'), ('indict','Justice:Charge-Indict'), ('injure','Life:Injure'), ('invade','Conflict:Attack'), ('jail','Justice:Arrest-Jail'), ('launch','Business:Start-Org'), ('march','Conflict:Demonstrate'), ('marry','Life:Marry'), ('meet','Contact:Meet'), ('merge','Business:Merge-Org'), ('nominate','Personnel:Nominate'), ('pardon','Justice:Pardon'), ('parole','Justice:Release-Parole'), ('pay','Transaction:Transfer-Money'), ('perish','Life:Die'), ('protest','Conflict:Demonstrate'), ('resign','Personnel:End-Position'), ('retire','Personnel:End-Position'), ('sell','Transaction:Transfer-Ownership'), ('sentence','Justice:Sentence'), ('sue','Justice:Sue'), ('testify','Justice:Trial-Hearing'), ('tour','Movement:Transport'), ('travel','Movement:Transport'), ('visit','Contact:Meet'), ('wed','Life:Marry'), ('wound','Life:Injure'), ('write','Contact:Phone-Write')),
+        |rm(etype, srole, orole) AS (VALUES ('Movement:Transport','Artifact','Artifact'), ('Conflict:Attack','Attacker','Target'), ('Conflict:Demonstrate','Entity','Place'), ('Contact:Meet','Entity','Entity'), ('Contact:Phone-Write','Entity','Entity'), ('Justice:Acquit','Adjudicator','Defendant'), ('Justice:Appeal','Defendant','Adjudicator'), ('Justice:Arrest-Jail','Agent','Person'), ('Justice:Charge-Indict','Prosecutor','Defendant'), ('Justice:Convict','Adjudicator','Defendant'), ('Justice:Execute','Agent','Person'), ('Justice:Extradite','Agent','Person'), ('Justice:Fine','Adjudicator','Entity'), ('Justice:Pardon','Adjudicator','Defendant'), ('Justice:Release-Parole','Entity','Person'), ('Justice:Sentence','Adjudicator','Defendant'), ('Justice:Sue','Plaintiff','Defendant'), ('Justice:Trial-Hearing','Prosecutor','Defendant'), ('Life:Be-Born','Person','Place'), ('Life:Die','Agent','Victim'), ('Life:Divorce','Person','Person'), ('Life:Injure','Agent','Victim'), ('Life:Marry','Person','Person'), ('Personnel:Elect','Entity','Person'), ('Personnel:End-Position','Person','Entity'), ('Personnel:Nominate','Agent','Person'), ('Personnel:Start-Position','Entity','Person'), ('Transaction:Transfer-Money','Giver','Recipient'), ('Transaction:Transfer-Ownership','Buyer','Artifact'), ('Business:Start-Org','Agent','Org'), ('Business:Merge-Org','Org','Org'), ('Business:End-Org','Agent','Org'), ('Business:Declare-Bankruptcy','Org','Place')),
+        |recs AS (SELECT src, unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx, unnest(json_extract(j,'$[*]')) AS rec FROM f),
+        |tok AS (SELECT src, rec_idx, CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens,
+        |               [lower(x) for x in CAST(rec->'$.tokens' AS VARCHAR[])] AS low,
+        |               len(CAST(rec->'$.tokens' AS VARCHAR[])) AS n FROM recs
+        |        WHERE len(CAST(rec->'$.tokens' AS VARCHAR[])) > 0),
+        |walk(src, rec_idx, cur, mstart, mend, mtyp) AS (
+        |  SELECT src, rec_idx, 1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR) FROM tok
+        |  UNION ALL
+        |  SELECT w.src, w.rec_idx,
+        |    CASE WHEN m2.typ IS NOT NULL THEN w.cur + 2 ELSE w.cur + 1 END,
+        |    CASE WHEN m2.typ IS NOT NULL OR m1.typ IS NOT NULL THEN w.cur ELSE NULL END,
+        |    CASE WHEN m2.typ IS NOT NULL THEN w.cur + 1
+        |         WHEN m1.typ IS NOT NULL THEN w.cur ELSE NULL END,
+        |    COALESCE(m2.typ, m1.typ)
+        |  FROM walk w
+        |  JOIN tok t ON t.src = w.src AND t.rec_idx = w.rec_idx
+        |  LEFT JOIN g2 m2 ON w.cur + 1 <= t.n AND t.tokens[w.cur] = m2.w1 AND t.tokens[w.cur + 1] = m2.w2
+        |  LEFT JOIN g1 m1 ON m2.typ IS NULL AND t.tokens[w.cur] = m1.w1
+        |  WHERE w.cur <= t.n),
+        |ners AS (SELECT src, rec_idx, mstart AS ea, mend AS eb, mtyp AS etyp FROM walk WHERE mstart IS NOT NULL),
+        |entpos AS (SELECT DISTINCT src, rec_idx, unnest(range(ea, eb + 1)) AS ip FROM ners),
+        |pos AS (SELECT src, rec_idx, tokens, n, unnest(range(1, n + 1)) AS ip FROM tok),
+        |lems AS (SELECT p.src, p.rec_idx, p.ip, p.tokens, p.n, lower(p.tokens[p.ip]) AS lo,
+        |  regexp_replace(lower(p.tokens[p.ip]), '''s$', '') AS b0, i.lemma AS irrlemma,
+        |  e.ip IS NOT NULL AS is_ent
+        |  FROM pos p
+        |  LEFT JOIN irr i ON i.surface = lower(p.tokens[p.ip])
+        |  LEFT JOIN entpos e ON e.src = p.src AND e.rec_idx = p.rec_idx AND e.ip = p.ip),
+        |typed AS (SELECT l.src, l.rec_idx, l.ip, l.n, t.typ
+        |  FROM (SELECT src, rec_idx, ip, n,
+        |          COALESCE(irrlemma,
+        |            CASE WHEN length(b0)>4 AND b0 LIKE '%ies' THEN substr(b0,1,length(b0)-3)||'y'
+        |                 WHEN length(b0)>4 AND b0 LIKE '%ing' THEN substr(b0,1,length(b0)-3)
+        |                 WHEN length(b0)>3 AND b0 LIKE '%ed' THEN substr(b0,1,length(b0)-2)
+        |                 WHEN length(b0)>3 AND b0 LIKE '%es' THEN substr(b0,1,length(b0)-2)
+        |                 WHEN length(b0)>3 AND b0 LIKE '%s' AND NOT b0 LIKE '%ss' THEN substr(b0,1,length(b0)-1)
+        |                 ELSE b0 END) AS lemma
+        |        FROM lems WHERE NOT is_ent) l
+        |  JOIN tl t ON t.lemma = l.lemma),
+        |runs AS (SELECT src, rec_idx, ip, n, typ,
+        |  ip - row_number() OVER (PARTITION BY src, rec_idx, typ ORDER BY ip) AS grp
+        |  FROM typed),
+        |runspan AS (SELECT src, rec_idx, typ, MIN(ip) AS a, MAX(ip) AS b, any_value(n) AS n
+        |  FROM runs GROUP BY src, rec_idx, typ, grp),
+        |trigs AS (
+        |  SELECT src, rec_idx, typ, b AS sp, b AS ep FROM runspan
+        |  UNION ALL
+        |  SELECT src, rec_idx, typ, b - 1 AS sp, b AS ep FROM runspan WHERE b = n AND b > a),
+        |tseg AS (SELECT tr.src, tr.rec_idx, tr.typ, tr.sp, tr.ep, t.tokens, t.low, t.n,
+        |  COALESCE(list_max([p for p in range(1, tr.sp)
+        |    if list_contains(['before','until','after','once','while','during','as','when','and','that','.','!','?'], t.low[p])]), 0) + 1 AS segs,
+        |  COALESCE(list_min([p for p in range(tr.sp + 1, t.n + 1)
+        |    if list_contains(['before','until','after','once','while','during','as','when','and','that','.','!','?'], t.low[p])]), t.n + 1) AS sege,
+        |  COALESCE(r.srole, 'Entity') AS srole, COALESCE(r.orole, 'Entity') AS orole,
+        |  CASE WHEN tr.typ = 'Movement:Transport' THEN 'Destination' ELSE 'Place' END AS lrole
+        |  FROM trigs tr JOIN tok t USING (src, rec_idx)
+        |  LEFT JOIN rm r ON r.etype = tr.typ),
+        |cand AS (SELECT ts.*, e.ea, e.eb, e.etyp
+        |  FROM tseg ts JOIN ners e USING (src, rec_idx)
+        |  WHERE e.ea >= ts.segs AND e.eb < ts.sege),
+        |subj AS (SELECT * FROM (
+        |  SELECT src, rec_idx, sp, srole AS role, ea, eb, tokens,
+        |    row_number() OVER (PARTITION BY src, rec_idx, sp, ep ORDER BY ea DESC) AS rn
+        |  FROM cand WHERE eb < sp AND CASE WHEN srole = 'Artifact' THEN list_contains(['PER','VEH','WEA'], etyp)
+        |       WHEN srole IN ('Destination','Origin','Place') THEN list_contains(['GPE','LOC','FAC'], etyp)
+        |       ELSE TRUE END) WHERE rn = 1),
+        |obj AS (SELECT * FROM (
+        |  SELECT src, rec_idx, sp, ep, orole AS role, ea, eb, tokens,
+        |    row_number() OVER (PARTITION BY src, rec_idx, sp, ep ORDER BY ea) AS rn
+        |  FROM cand WHERE ea > ep AND CASE WHEN orole = 'Artifact' THEN list_contains(['PER','VEH','WEA'], etyp)
+        |       WHEN orole IN ('Destination','Origin','Place') THEN list_contains(['GPE','LOC','FAC'], etyp)
+        |       ELSE TRUE END
+        |    AND NOT (ea > 1 AND list_contains(['in','at'], low[ea - 1]))) WHERE rn = 1),
+        |loc AS (SELECT * FROM (
+        |  SELECT c.src, c.rec_idx, c.sp, c.lrole AS role, c.ea, c.eb, c.tokens,
+        |    row_number() OVER (PARTITION BY c.src, c.rec_idx, c.sp, c.ep ORDER BY c.ea DESC) AS rn
+        |  FROM cand c
+        |  LEFT JOIN obj o ON o.src = c.src AND o.rec_idx = c.rec_idx AND o.sp = c.sp AND o.ep = c.ep
+        |                  AND o.ea = c.ea AND o.eb = c.eb
+        |  WHERE c.ea > c.ep AND CASE WHEN c.lrole = 'Artifact' THEN list_contains(['PER','VEH','WEA'], c.etyp)
+        |       WHEN c.lrole IN ('Destination','Origin','Place') THEN list_contains(['GPE','LOC','FAC'], c.etyp)
+        |       ELSE TRUE END AND o.ea IS NULL) WHERE rn = 1),
+        |allargs AS (
+        |  SELECT src, rec_idx, sp, role, ea, eb, tokens FROM subj
+        |  UNION ALL SELECT src, rec_idx, sp, role, ea, eb, tokens FROM obj
+        |  UNION ALL SELECT src, rec_idx, sp, role, ea, eb, tokens FROM loc)
+        |SELECT src, rec_idx, CAST(sp - 1 AS INTEGER) AS trig_start, role,
+        |  CAST(ea - 1 AS INTEGER) AS arg_start, CAST(eb - 1 AS INTEGER) AS arg_end,
+        |  array_to_string(tokens[ea : eb], ' ') AS arg_text
+        |FROM allargs ORDER BY src, rec_idx, trig_start, role, arg_start""".stripMargin,
 
     // q39: entity-masked trigger lexicon + adjacent-B run merge in
     // SQL (gazetteer walk for the mask, lemma CASE chain, inlined
