@@ -151,4 +151,15 @@ class OperatorSpec extends AnyFunSuite {
       assert(got(t) == graft.text.Text.normLemma(t.toLowerCase.split(" ").last),
         s"blockKey($t)")
   }
+
+  test("driver contract: every oracle key has a query; surface counts pinned") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    val orphans = os.diff(qs)
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+    // pinned so a future edit that drops a query or oracle fails loudly
+    // (update BOTH numbers AND the README/SURVEY counts when adding)
+    assert(qs.size == 48, s"queries: ${qs.size}")
+    assert(os.size == 38, s"oracles: ${os.size}")
+  }
 }
