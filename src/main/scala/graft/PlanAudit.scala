@@ -15,7 +15,11 @@ object PlanAudit {
       "q14_knn_bruteforce", "q15_langid_dist", "q16_token_stats",
       "q22_semi_by_brand", "q23_embed_neardup", "q25_quality",
       "q26_embed_neardup_lsh", "q27_pii_redact", "q28_stratified_sample",
-      "q29_ann_ivf", "q30_golden_spans", "kg_timeline_golden")
+      "q29_ann_ivf", "q30_golden_spans", "kg_timeline_golden",
+      "q31_contained_args", "q32_dedup_clusters", "q33_copular_predicates",
+      "q34_negation_scope", "q35_head_evidence", "q36_tokenize",
+      "q37_sentsplit", "q38_gazetteer_ner", "q39_trigger_spans",
+      "q40_argument_spans")
     val sb = new StringBuilder
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)
