@@ -40,8 +40,15 @@ object Main {
       .appName("graft-kg-build")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    import spark.implicits._
+    val (n, wall) = run(spark, input, outRoot)
+    println(s"""{"triples":$n,"sec":$wall,"out":"$outRoot","input":"$input"}""")
+    spark.stop()
+  }
 
+  /** The job body, session-agnostic (testable; `main` owns the session
+    * lifecycle). Returns (tripleCount, wallSec). */
+  def run(spark: SparkSession, input: String, outRoot: String): (Long, Double) = {
+    import spark.implicits._
     val files =
       if (input.startsWith("synth:")) {
         val parts = input.stripPrefix("synth:").split(":")
@@ -51,14 +58,11 @@ object Main {
         spark.read.parquet(input)
           .select("repo", "path", "commit", "lang", "content")
           .as[SourceFile]
-
     // input signature for resume verification: the argument string — a
     // different input path (or synth size) invalidates committed stages
     val t0 = System.nanoTime()
     val triples = Pipeline.runCheckpointed(spark, files, outRoot, input)
     val n = triples.count()
-    val wall = (System.nanoTime() - t0) / 1e9
-    println(s"""{"triples":$n,"sec":$wall,"out":"$outRoot","input":"$input"}""")
-    spark.stop()
+    (n, (System.nanoTime() - t0) / 1e9)
   }
 }

@@ -92,4 +92,19 @@ class StoreSpec extends AnyFunSuite {
     assert(r.getAs[String]("repo") == "badrepo")
     assert(r.getAs[String]("stage") == "extract")
   }
+
+  test("graft.Main (spark-submit entry): synth build commits all stages " +
+      "and a rerun resumes from the manifests") {
+    val root = tmp()
+    val (n1, _) = Main.run(spark, s"synth:$NFiles:$Spf", root)
+    for (stage <- Seq("sentences", "quarantine", "tagged", "events",
+        "relations", "triples"))
+      assert(Store.readManifest(root, stage).isDefined, s"manifest $stage")
+    assert(n1 > 0)
+    // rerun: resumed output identical; manifests carry the metrics fields
+    val (n2, _) = Main.run(spark, s"synth:$NFiles:$Spf", root)
+    assert(n2 == n1)
+    val m = Files.readString(Store.manifestPath(root, "triples"))
+    assert(m.contains("\"metrics\"") && m.contains("\"wall_sec\""))
+  }
 }
