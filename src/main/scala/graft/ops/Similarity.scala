@@ -346,12 +346,17 @@ object Similarity {
   /** IVF ANN top-k: rank centroids by cosine to the query driver-side
     * (k centroids ≈ sqrt(n) — tiny), probe the `nProbe` nearest lists,
     * exact cosine inside the probed rows only. `centroids` — pass a
-    * pretrained quantizer to skip training (query-serving shape);
-    * `k <= 0` → adaptive sqrt(corpus). With nProbe >= k every list is
-    * probed and the result equals brute force exactly (tested). */
+    * pretrained quantizer to skip training, and `assigned` — a
+    * precomputed `ivfAssign` frame (ideally written out bucketed by
+    * `list`) to skip the per-query assignment scan: the query-serving
+    * shape is train once, assign once, then each query touches only the
+    * probed lists. `k <= 0` → adaptive sqrt(corpus). With nProbe >= k
+    * every list is probed and the result equals brute force exactly
+    * (tested). */
   def ivfTopK(embeddings: DataFrame, query: Seq[Float], kNN: Int,
       nProbe: Int = 4, k: Int = 0, iters: Int = 4,
       centroids: Array[Array[Float]] = null,
+      assigned: DataFrame = null,
       idCol: String = "vec_id", vecCol: String = "embedding",
       corpusSize: Long = -1L): DataFrame = {
     val cents =
@@ -375,9 +380,11 @@ object Similarity {
         if (pn == 0.0 || qn == 0.0) 2.0 else -dot / math.sqrt(pn * qn)
       }
       .take(math.max(1, nProbe)).map(Int.box)
-    val assigned = ivfAssign(embeddings, cents, idCol, vecCol)
+    val assign0 =
+      if (assigned != null) assigned
+      else ivfAssign(embeddings, cents, idCol, vecCol)
     val probed = embeddings.join(
-      assigned.filter(col("list").isin(probes: _*)).select(idCol),
+      assign0.filter(col("list").isin(probes: _*)).select(idCol),
       Seq(idCol), "left_semi")
     bruteForceTopK(probed, query, kNN, idCol, vecCol)
   }

@@ -129,6 +129,11 @@ class OpsSpec extends AnyFunSuite {
     // deterministic: retraining yields identical centroids
     val cents2 = Similarity.trainCentroids(emb, k, iters = 3)
     assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq)
+    // serving shape: precomputed assignment gives the identical result
+    val pre = Similarity.ivfAssign(emb, cents)
+    val served = Similarity.ivfTopK(emb, query, 10, nProbe = 2,
+      centroids = cents, assigned = pre).as[(Long, Double)].collect().toSeq
+    assert(served == few.toSeq)
   }
 
   test("IVF quantizer: clustered corpus recalls true neighbors with 1 probe") {
