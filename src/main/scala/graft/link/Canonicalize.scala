@@ -125,15 +125,22 @@ object Canonicalize {
     * union-find; larger graphs run the distributed label-propagation
     * loop. Both produce the min-vid labeling — equality is unit-tested. */
   def canonicalForms(spark: SparkSession, mentions: DataFrame): DataFrame = {
-    val forms = mentions.select("repo", "text").distinct()
-      .withColumn("block", blockKey(col("text")))
+    val maxBlock =
+      spark.conf.get("spark.graft.maxBlockForms", "1000").toInt
+    val forms = refineBlocks(mentions, maxBlock)
       .withColumn("vid", concat(col("repo"), lit("\u0000"), col("text")))
       .persist()
     val nForms = forms.count() // materializes the cache for all consumers
-    // pairwise similarity within a block: token-set containment
-    val a = forms.select(col("repo"), col("block"), col("vid").as("src"),
+    // pairwise similarity within a KEPT block: token-set containment. The
+    // `kept` gate bounds the per-(repo, block) join fan-out at maxBlock²
+    // (≤1M comparisons in the one task a hot block lands on — never
+    // corpus-quadratic). Dropped forms fall back to identity canonical
+    // below, audited by `droppedBlocks`: they can only be under-merged,
+    // never silently mis-merged.
+    val inBlock = forms.filter(col("kept"))
+    val a = inBlock.select(col("repo"), col("block"), col("vid").as("src"),
       split(col("text"), " ").as("ta"))
-    val b = forms.select(col("repo"), col("block"), col("vid").as("dst"),
+    val b = inBlock.select(col("repo"), col("block"), col("vid").as("dst"),
       split(col("text"), " ").as("tb"))
     val edges = a.join(b, Seq("repo", "block"))
       .filter(col("src") < col("dst"))
@@ -152,12 +159,12 @@ object Canonicalize {
         val es = edges.as[(String, String)].take(maxLocalEdges.toInt + 1)
         if (es.length <= maxLocalEdges)
           localComponents(spark,
-            forms.select("vid").as[String].collect(), es)
-        else connectedComponents(spark, forms.select("vid"), edges)
-      } else connectedComponents(spark, forms.select("vid"), edges)
+            inBlock.select("vid").as[String].collect(), es)
+        else connectedComponents(spark, inBlock.select("vid"), edges)
+      } else connectedComponents(spark, inBlock.select("vid"), edges)
     // comps is tiny on the local path and AQE picks the strategy on the
     // distributed one — no forced broadcast (comps grows with forms)
-    val withComp = forms.join(comps, Seq("vid"))
+    val withComp = inBlock.join(comps, Seq("vid"))
     // canonical per component: longest text, ties -> lexicographically min
     val canon = withComp
       .groupBy("component")
@@ -166,9 +173,51 @@ object Canonicalize {
       .select(col("component"), col("best.t").as("canonical"))
     val out = withComp.join(canon, Seq("component"))
       .select("repo", "text", "canonical")
+      .unionByName(forms.filter(!col("kept"))
+        .select(col("repo"), col("text"), col("text").as("canonical")))
     forms.unpersist()
     out
   }
+
+  /** Block refinement behind `canonicalForms`' quadratic cap: distinct
+    * (repo, text) forms keyed by `blockKey`; a block holding more than
+    * `maxBlock` distinct forms (a hot lemma — every mention ending in
+    * "said", a common surname) is split on a secondary key (the lowercased
+    * first token); a sub-block STILL over the cap is marked `kept = false`
+    * and falls out of the pairwise join entirely. Blocks within the cap
+    * keep their original key, so normal-corpus output is unchanged.
+    * Returns (repo, text, block, kept). */
+  private[graft] def refineBlocks(mentions: DataFrame,
+      maxBlock: Int): DataFrame = {
+    val base = mentions.select("repo", "text").distinct()
+      .withColumn("block", blockKey(col("text")))
+    val sizes = base.groupBy("repo", "block").agg(count(lit(1)).as("bsz"))
+    val refined = base.join(sizes, Seq("repo", "block"))
+      .withColumn("block", when(col("bsz") > maxBlock,
+          concat(col("block"), lit(""),
+            lower(element_at(split(col("text"), " "), 1))))
+        .otherwise(col("block")))
+      .drop("bsz")
+    // post-join the data is already hash-partitioned on (repo, block)'s
+    // parent key, and both re-aggregations are over vocabulary-bounded
+    // distinct forms, not mentions — the cap costs no mention-scale shuffle
+    val sizes2 = refined.groupBy("repo", "block")
+      .agg(count(lit(1)).as("bsz2"))
+    refined.join(sizes2, Seq("repo", "block"))
+      .withColumn("kept", col("bsz2") <= maxBlock)
+      .drop("bsz2")
+  }
+
+  /** Audit view of `canonicalForms`' cap (the `maxBucket` /
+    * `maxShingleDf` pattern — no silent truncation): one row per
+    * (repo, block) whose refined sub-block still exceeds `maxBlockForms`,
+    * with its distinct-form count. Forms in these blocks stay
+    * identity-canonical in the emitted map. */
+  def droppedBlocks(spark: SparkSession, mentions: DataFrame,
+      maxBlockForms: Int = 1000): DataFrame =
+    refineBlocks(mentions, maxBlockForms)
+      .filter(!col("kept"))
+      .groupBy("repo", "block").agg(count(lit(1)).as("nForms"))
 
   /** Rewrite mention texts to canonical forms (J5 analog,
     * coref.py:80-119). The map side is distinct surface forms — usually

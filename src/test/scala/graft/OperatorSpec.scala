@@ -142,6 +142,58 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.maxLocalCCForms")
   }
 
+  test("canonicalForms: hot-lemma block is capped, audited, and " +
+      "identity-canonical; normal blocks unchanged") {
+    // adversarial block: 50 distinct multi-token forms all ending in the
+    // same lemma ("said") AND sharing the first token, so the secondary
+    // sub-block split cannot rescue it — with cap 10 the whole sub-block
+    // must drop to identity canonical. A normal block rides along.
+    val hot = (1 to 50).map(i => ("r1", s"spokesman number$i said"))
+    val normal = Seq(("r1", "George Pataki"), ("r1", "Pataki"))
+    val mentions = (hot ++ normal).toDF("repo", "text")
+    spark.conf.set("spark.graft.maxBlockForms", "10")
+    try {
+      val m = Canonicalize.canonicalForms(spark, mentions)
+        .as[(String, String, String)].collect()
+        .map { case (r, t, c) => (r, t) -> c }.toMap
+      assert(m.size == 52)
+      // dropped block: every hot form is its own canonical (under-merge,
+      // never mis-merge)
+      for ((r, t) <- hot) assert(m((r, t)) == t, s"identity for $t")
+      // the normal block still merges as before
+      assert(m(("r1", "Pataki")) == "George Pataki")
+      // audit view surfaces exactly the dropped sub-block with its size
+      val audit = Canonicalize.droppedBlocks(spark, mentions, 10)
+        .as[(String, String, Long)].collect()
+      assert(audit.length == 1 && audit.head._3 == 50)
+      // bounded pair count: the kept universe generates at most cap² pairs
+      val pairs = Canonicalize.refineBlocks(mentions, 10)
+        .filter(col("kept"))
+        .groupBy("repo", "block").count()
+        .agg(sum(col("count") * col("count"))).as[Long].head()
+      assert(pairs <= 10L * 10 * 2, s"pair bound violated: $pairs")
+    } finally spark.conf.unset("spark.graft.maxBlockForms")
+  }
+
+  test("canonicalForms: oversized block rescued by first-token sub-split") {
+    // 30 forms ending in "said", but 15 distinct first tokens -> sub-blocks
+    // of 2 are all within cap 10, so merging still happens within sub-block
+    val forms = (1 to 15).flatMap(i =>
+      Seq(("r1", s"prefix$i spokesman said"), ("r1", s"prefix$i said")))
+    spark.conf.set("spark.graft.maxBlockForms", "10")
+    try {
+      val m = Canonicalize.canonicalForms(spark, forms.toDF("repo", "text"))
+        .as[(String, String, String)].collect()
+        .map { case (r, t, c) => (r, t) -> c }.toMap
+      for (i <- 1 to 15) {
+        assert(m(("r1", s"prefix$i said")) == s"prefix$i spokesman said")
+        assert(m(("r1", s"prefix$i spokesman said")) == s"prefix$i spokesman said")
+      }
+      assert(Canonicalize.droppedBlocks(spark, forms.toDF("repo", "text"), 10)
+        .count() == 0)
+    } finally spark.conf.unset("spark.graft.maxBlockForms")
+  }
+
   test("canonicalForms blocking key mirrors Text.normLemma") {
     val texts = Seq("Jones", "jones", "armies", "running", "walked", "classes", "dogs", "pass")
     val df = texts.map(t => ("r", t)).toDF("repo", "text")
