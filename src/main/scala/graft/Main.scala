@@ -41,9 +41,32 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     val (n, wall) = run(spark, input, outRoot)
-    println(s"""{"triples":$n,"sec":$wall,"out":"$outRoot","input":"$input"}""")
+    // q(): paths with quotes/backslashes must not produce invalid JSON
+    println(s"""{"triples":$n,"sec":$wall,"out":${kg.Store.q(outRoot)},"input":${kg.Store.q(input)}}""")
     spark.stop()
   }
+
+  /** Resume signature: for parquet inputs, the argument string alone would
+    * silently resume from stale snapshots when the files change in place
+    * under the same path — fold a content signature (sha256 of the sorted
+    * file listing with sizes and mtimes) into it. Synth inputs are already
+    * fully determined by the argument string. */
+  def inputSignature(spark: SparkSession, input: String): String =
+    if (input.startsWith("synth:")) input
+    else {
+      val p = new org.apache.hadoop.fs.Path(input)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val entries = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val st = it.next()
+        entries +=
+          s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
+      }
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      input + "@" + digest.map("%02x".format(_)).mkString.take(16)
+    }
 
   /** The job body, session-agnostic (testable; `main` owns the session
     * lifecycle). Returns (tripleCount, wallSec). */
@@ -58,10 +81,13 @@ object Main {
         spark.read.parquet(input)
           .select("repo", "path", "commit", "lang", "content")
           .as[SourceFile]
-    // input signature for resume verification: the argument string — a
-    // different input path (or synth size) invalidates committed stages
+    // input signature for resume verification: argument string + content
+    // signature for parquet inputs (see inputSignature) — a different
+    // input path, synth size, or in-place file change invalidates
+    // committed stages
     val t0 = System.nanoTime()
-    val triples = Pipeline.runCheckpointed(spark, files, outRoot, input)
+    val triples = Pipeline.runCheckpointed(spark, files, outRoot,
+      inputSignature(spark, input))
     val n = triples.count()
     (n, (System.nanoTime() - t0) / 1e9)
   }

@@ -100,7 +100,9 @@ object SparkEntry {
       val path = "Mu_test_data/test_ace.pred.json"
       val ann = graft.sources.Sources.readAnnotationArray(s,
         s"/root/reference/component/Duration/$path")
-      Triples.emit(s, Pipeline.fromAnnotations(s, ann, "eventplus", path))
+      // emitCommitted, not emit: Bench iterates every query in one session,
+      // and the lazy emit would retain events/formMap/blockCanon caches
+      Triples.emitCommitted(s, Pipeline.fromAnnotations(s, ann, "eventplus", path))
         .select("subj", "pred", "obj").orderBy("subj", "pred", "obj")
     }),
 

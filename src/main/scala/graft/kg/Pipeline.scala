@@ -454,11 +454,24 @@ object Pipeline {
     val tagged = Store.runStage(spark, root, "tagged", inputSig) {
       tagStage(spark, sents).toDF()
     }.as[TaggedSentence]
-    lazy val ann = annotateFrom(spark, sents, tagged)
+    var annForced = false
+    lazy val ann = { annForced = true; annotateFrom(spark, sents, tagged) }
     val events = Store.runStage(spark, root, "events", inputSig)(ann.events)
     val rels = Store.runStage(spark, root, "relations", inputSig)(ann.relations)
-    Store.runStage(spark, root, "triples", inputSig) {
-      Triples.emit(spark, Annotated(tagged, events, rels))
+    // capture emit's intermediate caches (events/formMap/blockCanon) so
+    // they release once the stage snapshot is committed — the lazy
+    // Triples.emit otherwise leaves them persisted for the session's
+    // lifetime. runStage skips the body entirely on resume, so the var
+    // stays empty (and nothing was cached) when the stage is committed.
+    var emitCaches: Seq[DataFrame] = Nil
+    val out = Store.runStage(spark, root, "triples", inputSig) {
+      val (frame, caches) =
+        Triples.emitWithCaches(spark, Annotated(tagged, events, rels))
+      emitCaches = caches
+      frame
     }
+    emitCaches.foreach(_.unpersist())
+    if (annForced) ann.caches.foreach(_.unpersist())
+    out
   }
 }

@@ -31,7 +31,7 @@ object Store {
       schemaJson: String, metrics: Seq[(String, Long, Long)] = Seq.empty,
       wallSec: Double = 0.0)
 
-  private def q(s: String): String =
+  private[graft] def q(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

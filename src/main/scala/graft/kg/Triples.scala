@@ -45,7 +45,7 @@ object Triples {
     cached
   }
 
-  private def emitWithCaches(spark: SparkSession,
+  private[kg] def emitWithCaches(spark: SparkSession,
       ann: Pipeline.Annotated): (DataFrame, Seq[DataFrame]) = {
     val events = ann.events.persist()
     // materialize the cache NOW: the canonicalization loop and the two

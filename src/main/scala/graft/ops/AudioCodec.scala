@@ -70,7 +70,9 @@ object AudioCodec {
     while (off + 8 <= p.length && (dataOff < 0 || sampleRate < 0)) {
       val id = new String(p, off, 4, "US-ASCII")
       val len = le32(p, off + 4)
-      if (len < 0 || off + 8 + len > p.length) return None
+      // Long arithmetic: len near Int.MaxValue wraps `off + 8 + len`
+      // negative and would pass — then the sample loop reads off the end
+      if (len < 0 || off + 8L + len > p.length) return None
       id match {
         case "fmt " =>
           if (len < 16) return None

@@ -49,19 +49,23 @@ object ImageCodec {
     }
     def readInt(): Int = {
       skipWs()
-      var v = 0
+      var v = 0L // Long accumulator: a hostile digit run must not wrap
       var any = false
       while (i < p.length && p(i) >= '0' && p(i) <= '9') {
-        v = v * 10 + (p(i) - '0'); i += 1; any = true
+        v = math.min(v * 10 + (p(i) - '0'), Int.MaxValue.toLong)
+        i += 1; any = true
       }
-      if (!any) -1 else v
+      if (!any) -1 else v.toInt
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
     if (w <= 0 || h <= 0 || maxval != 255) return None
     i += 1 // the single whitespace byte after maxval
-    val need = w * h * 3
+    // Long arithmetic: w*h*3 with unbounded header dims wraps Int and a
+    // wrapped-negative `need` would pass the bounds check, then throw in
+    // copyOfRange — one corrupt row must never crash the stage
+    val need = w.toLong * h * 3
     if (i + need > p.length) return None
-    val rgb = java.util.Arrays.copyOfRange(p, i, i + need)
+    val rgb = java.util.Arrays.copyOfRange(p, i, i + need.toInt)
     Some((w, h, rgb))
   }
 
@@ -84,9 +88,14 @@ object ImageCodec {
     val h = math.abs(hRaw)
     val bpp = le16(p, 28)
     val compression = le32(p, 30)
-    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
-    val rowBytes = (w * 3 + 3) & ~3 // rows pad to 4 bytes
-    if (dataOff + rowBytes.toLong * h > p.length) return None
+    // h <= 0 also rejects hRaw == Int.MinValue (abs stays negative);
+    // dataOff is attacker-controlled le32 — negative must be rejected
+    // before it indexes p below
+    if (w <= 0 || h <= 0 || bpp != 24 || compression != 0 ||
+      dataOff < 54) return None
+    val rowBytesL = (w.toLong * 3 + 3) & ~3L // rows pad to 4 bytes
+    if (dataOff + rowBytesL * h > p.length) return None
+    val rowBytes = rowBytesL.toInt // safe: rowBytesL * h bounded by p.length
     val rgb = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {

@@ -104,20 +104,24 @@ object Multimodal {
     * amplitude histogram); video falls through to the declared stub. A
     * payload that fails to decode also falls through — the operator never
     * throws on malformed media (quarantine-adjacent behavior). */
-  def decodeFeatures(kind: String, payload: Array[Byte]): Array[Float] =
-    kind match {
+  def decodeFeatures(kind: String, payload: Array[Byte]): Array[Float] = {
+    // Try is the contract's backstop: the codecs bounds-check in Long and
+    // return None on malformed headers, but untrusted bytes in executor
+    // code get defense in depth — a decode that still throws falls back,
+    // never crashing the mapPartitions stage
+    val decoded = scala.util.Try(kind match {
       case "image" =>
-        ImageCodec.decode(payload) match {
-          case Some((_, _, rgb)) => ImageCodec.luminanceHistogram(rgb)
-          case None => fakeDecodeFeatures(payload)
+        ImageCodec.decode(payload).map { case (_, _, rgb) =>
+          ImageCodec.luminanceHistogram(rgb)
         }
       case "audio" =>
-        AudioCodec.decodeWav(payload) match {
-          case Some((_, _, samples)) => AudioCodec.amplitudeHistogram(samples)
-          case None => fakeDecodeFeatures(payload)
+        AudioCodec.decodeWav(payload).map { case (_, _, samples) =>
+          AudioCodec.amplitudeHistogram(samples)
         }
-      case _ => fakeDecodeFeatures(payload)
-    }
+      case _ => None
+    }).toOption.flatten
+    decoded.getOrElse(fakeDecodeFeatures(payload))
+  }
 
   val BatchSize = 64
 
@@ -146,7 +150,7 @@ object Multimodal {
     import spark.implicits._
     media.map { m =>
       if (m.kind != "image" || math.max(m.meta.width, m.meta.height) <= maxSide) m
-      else ImageCodec.decode(m.payload) match {
+      else scala.util.Try(ImageCodec.decode(m.payload)).toOption.flatten match {
         case Some((w, h, rgb)) =>
           val scale = maxSide.toDouble / math.max(w, h)
           val nw = math.max(1, (w * scale).toInt)

@@ -492,6 +492,57 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("codec fuzz: hostile headers (Int-wrap dims, negative offsets, " +
+      "truncated chunks) never throw — decodeFeatures always falls back") {
+    import graft.ops.AudioCodec
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    // PPM: w*h*3 wraps Int (46341² * 3 ≈ 6.4e9); digit-run overflow; zero
+    val hostilePpms = Seq(
+      "P6\n46341 46341\n255\n", "P6\n999999999 999999999\n255\n",
+      "P6\n99999999999999999999 2\n255\n", "P6\n0 5\n255\n",
+      "P6\n9 9\n255\n" /* needs 243 pixel bytes, payload has 32 */
+    ).map(h => h.getBytes("US-ASCII") ++ Array.fill[Byte](32)(1))
+    // BMP: negative dataOff; hRaw = Int.MinValue; w*3 wraps
+    def bmp(dataOff: Int, w: Int, h: Int): Array[Byte] =
+      "BM".getBytes ++ le32(0) ++ le32(0) ++ le32(dataOff) ++ le32(40) ++
+        le32(w) ++ le32(h) ++ Array[Byte](1, 0, 24, 0) ++ le32(0) ++
+        Array.fill[Byte](64)(2)
+    val hostileBmps = Seq(bmp(-1, 4, 4), bmp(54, 4, Int.MinValue),
+      bmp(54, 0x7ffffff0, 2), bmp(Int.MaxValue, 4, 4))
+    for (p <- hostilePpms ++ hostileBmps) {
+      assert(ImageCodec.decode(p).isEmpty, "hostile image must not decode")
+      assert(Multimodal.decodeFeatures("image", p).length == 16)
+    }
+    // WAV: chunk len near Int.MaxValue wraps off + 8 + len; len = -2
+    val good = AudioCodec.encodeWav(8000, Array[Short](1, 2, 3))
+    for (badLen <- Seq(Int.MaxValue - 4, Int.MaxValue, -2)) {
+      val w = good.clone()
+      System.arraycopy(le32(badLen), 0, w, 16, 4) // fmt chunk length
+      assert(AudioCodec.decodeWav(w).isEmpty)
+      val w2 = good.clone()
+      System.arraycopy(le32(badLen), 0, w2, 40, 4) // data chunk length
+      assert(AudioCodec.decodeWav(w2).isEmpty)
+      assert(Multimodal.decodeFeatures("audio", w2).length == 16)
+    }
+    // random fuzz: pure noise + bit-flipped valid payloads; the contract is
+    // "never throws, 16 features out" — not "never decodes"
+    val rng = new scala.util.Random(0xfade)
+    val validPpm = ImageCodec.encodePpm(4, 4, Array.fill[Byte](48)(3))
+    for (i <- 1 to 300) {
+      val p =
+        if (i % 3 == 0) Array.fill[Byte](rng.nextInt(200))(rng.nextInt(256).toByte)
+        else {
+          val base = (if (i % 3 == 1) validPpm else good).clone()
+          for (_ <- 0 to rng.nextInt(8))
+            base(rng.nextInt(base.length)) = rng.nextInt(256).toByte
+          base
+        }
+      assert(Multimodal.decodeFeatures("image", p).length == 16)
+      assert(Multimodal.decodeFeatures("audio", p).length == 16)
+    }
+  }
+
   test("multimodal: audio features come from DECODED samples (amplitude " +
       "histogram), not payload bytes") {
     import graft.ops.AudioCodec
