@@ -39,8 +39,18 @@ object SparkEntry {
       // partitions, persists + materializes the cache eagerly, and
       // unpersists every pipeline intermediate — follow-up kg_* queries
       // scan a warm compact cache with no leftover executor storage
-      Triples.fromFilesCommitted(spark, Synth.corpus(spark, nFiles, spf),
+      val raw = Triples.fromFilesCommitted(spark,
+        Synth.corpus(spark, nFiles, spf),
         numPartitions = spark.sparkContext.defaultParallelism)
+      // the materialized KG view is a triple SET: dropDuplicates is a
+      // groupBy over all six columns, so map-side partial aggregation
+      // collapses duplicates (repeat entity mentions in one file) before
+      // the one dedup shuffle — this is what the composed-pipeline
+      // oracles (gold export is a set by construction) value-check
+      val distinct = raw.dropDuplicates().persist()
+      distinct.count()
+      raw.unpersist()
+      distinct
     })
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -650,11 +660,51 @@ object SparkEntry {
         .orderBy("doc_id"))
   )
 
+  /** Shared oracle CTE: the gold triple export for the scale factor under
+    * test (see the kg_* oracle comment below). The delim is the two-char
+    * sequence backslash-t, which DuckDB's read_csv parses as a tab. */
+  private val goldCte: String =
+    "WITH gold AS (SELECT * FROM read_csv('/tmp/graft_gold/*/gold_triples.tsv', " +
+      "delim='\\t', header=true, all_varchar=true, filename=true) " +
+      "WHERE filename LIKE '%/n' || (SELECT CASE count(*) " +
+      "WHEN 6000 THEN '60_s6' WHEN 60000 THEN '600_s6' " +
+      "WHEN 600000 THEN '6000_s8' ELSE 'unknown' END FROM lineitem) || '/%') "
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (KG pipeline, LSH/minhash/simhash signatures, custom expression,
     * synthetic media) → driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] = Map(
+    // ---- composed-pipeline value checks (kg_* over the synthetic
+    // corpus). The oracle aggregates the INDEPENDENTLY DERIVED gold
+    // triple set (GoldDeriver — plain Scala from Synth's gold
+    // annotations, no pipeline code), exported by graft.Verify as a
+    // sorted TSV under /tmp/graft_gold/n<files>_s<spf>/. One static SQL
+    // serves every scale factor: the corpus size is recovered from the
+    // registered lineitem view's row count (sf0.001→6000 rows→60 files,
+    // sf0.01→60000→600, sf0.1→600000→6000) and selects the matching
+    // export directory by filename. A composition bug anywhere in the
+    // DAG (tagging → alignment → enrichment → linking →
+    // canonicalization → emit) shifts these aggregates and fails the
+    // hash — this is the end-to-end check the per-stage oracles
+    // (q30-q42) cannot give.
+    "kg_triples_by_pred" ->
+      (goldCte + "SELECT pred, count(*) AS n FROM gold GROUP BY pred ORDER BY pred"),
+    "kg_events_by_type" ->
+      (goldCte + "SELECT obj AS event_type, count(*) AS n FROM gold " +
+        "WHERE pred = 'hasType' GROUP BY obj ORDER BY event_type"),
+    "kg_relations_by_label" ->
+      (goldCte + "SELECT pred AS label, count(*) AS n FROM gold " +
+        "WHERE pred IN ('BEFORE','AFTER','SIMULTANEOUS','INCLUDES','IS_INCLUDED') " +
+        "GROUP BY pred ORDER BY label"),
+    "kg_sameas_clusters" ->
+      (goldCte + "SELECT obj AS canonical, count(*) AS cluster_size FROM gold " +
+        "WHERE pred = 'sameAs' GROUP BY obj " +
+        "ORDER BY cluster_size DESC, canonical LIMIT 20"),
+    "kg_entities_top" ->
+      (goldCte + "SELECT obj AS entity, count(*) AS n FROM gold " +
+        "WHERE pred = 'hasEntity' GROUP BY obj ORDER BY n DESC, entity LIMIT 20"),
+
     // kg_timeline_golden: the A8 timeline re-derived end-to-end in SQL —
     // first-connective relation labeling over golden TimeBank triggers,
     // NONE/VAGUE filter, longest-path layering as a recursive CTE over

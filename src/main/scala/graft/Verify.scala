@@ -16,6 +16,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // independently derived gold triple set for the composed kg_* oracles
+    // (see GoldDeriver.exportTsv) — written before any query runs so the
+    // driver's DuckDB pass can read it regardless of query order
+    val (nFiles, spf) = graft.corpus.Synth.sizeForSfDir(sfDir)
+    graft.gold.GoldDeriver.exportTsv(nFiles, spf)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -110,4 +110,31 @@ object GoldDeriver {
     }
     out.toSet
   }
+
+  /** Export the gold triple SET as a sorted TSV under
+    * `root/n<nFiles>_s<spf>/gold_triples.tsv` — the independently derived
+    * expected set the driver's DuckDB oracle aggregates for the composed
+    * kg_* pipeline queries (graft.Verify writes it before running the
+    * queries; the n/spf-keyed directory lets one static oracle SQL pick
+    * the right corpus via a filename filter). Deterministic content;
+    * bounded driver-side work (the gold derivation is vocabulary-bounded
+    * plain Scala over nFiles × spf sentences — Verify runs at sf ≤ 0.01,
+    * i.e. ≤ 600 files). Written once per (nFiles, spf) per JVM. */
+  private val exported = mutable.Set.empty[(Long, Int)]
+  def exportTsv(nFiles: Long, sentsPerFile: Int,
+      root: String = "/tmp/graft_gold"): java.nio.file.Path = synchronized {
+    val dir = java.nio.file.Paths.get(root, s"n${nFiles}_s$sentsPerFile")
+    val file = dir.resolve("gold_triples.tsv")
+    if (exported.add((nFiles, sentsPerFile)) ||
+        !java.nio.file.Files.exists(file)) {
+      java.nio.file.Files.createDirectories(dir)
+      val rows = goldTriples(nFiles, sentsPerFile).toSeq
+        .map(t => s"${t.subj}\t${t.pred}\t${t.obj}\t${t.repo}\t${t.path}\t${t.contentSha}")
+        .sorted
+      val sb = new StringBuilder("subj\tpred\tobj\trepo\tpath\tcontentsha\n")
+      rows.foreach(r => sb.append(r).append('\n'))
+      java.nio.file.Files.write(file, sb.toString.getBytes("UTF-8"))
+    }
+    file
+  }
 }
