@@ -586,6 +586,112 @@ object SparkEntry {
         }.toDF("sentKey", "lAligned", "rAligned", "label")
       graft.eval.Timeline.fitDocTimelines(s, rels).orderBy("doc", "eventId")
     }),
+    "q41_align_inject" -> ((s, dir) => {
+      // J1 (fuzzy nearest alignment, main.py:117-144 + `closest`
+      // main.py:18-19) and U1 (typeless-event injection, main.py:146-167)
+      // made driver-checkable on reference data: TempRel-style heads are
+      // derived from every golden trigger across ALL FIVE corpora (8,191
+      // heads) with a deterministic index perturbation
+      // shift = (rec + start) % 6 - 2 ∈ {-2..3} (3 = out-of-band drop
+      // case) and a '.' appended to every 7th head text (exercises the
+      // '.'-strip rule). Pipeline.alignHeads recovers the alignment
+      // (band |Δ| ≤ 2, nearest-|Δ| then lowest index) and the REAL
+      // injectTempRelOnlyEvents decides containment against the golden
+      // triggers; the oracle re-derives band, pick, strip, and the
+      // NOT-EXISTS containment in SQL.
+      import s.implicits._
+      val corpora = Seq("test_ace", "test_tbd", "dev_ace", "dev_tbd", "train_tbd")
+      val anns = corpora.map { f =>
+        Pipeline.fromAnnotations(s,
+          graft.sources.Sources.readAnnotationArray(s,
+            s"/root/reference/component/Duration/Mu_test_data/$f.pred.json"),
+          "eventplus", s"Mu_test_data/$f.pred.json")
+      }
+      val tagged = anns.map(_.tagged).reduce(_ union _)
+      // fromAnnotations events carry extra duration/speculation columns;
+      // drop them so the typed union inside injectTempRelOnlyEvents lines up
+      val events = anns.map(_.events.drop("duration", "speculation")
+        .as[Pipeline.EventRow]).reduce(_ union _)
+      val sentToks = tagged.select(col("sentKey"), col("tokens"))
+      val trig = tagged
+        .select(col("sentKey"), col("senNum").as("rec"), col("tokens"),
+          explode(col("triggers")).as("tr"))
+        .select(col("sentKey"), col("rec"), col("tokens"),
+          col("tr.start").as("start"))
+      val trigHeads = trig
+        .withColumn("tokIdx",
+          col("start") + (col("rec") + col("start")) % 6 - 2)
+        .withColumn("tok", concat(element_at(col("tokens"), col("start") + 1),
+          when((col("rec") + col("start")) % 7 === 0, lit(".")).otherwise(lit(""))))
+        .select("sentKey", "tokIdx", "tok")
+      // second head family from NON-trigger tokens (every ~29th position):
+      // these mostly align to themselves and are NOT contained in a golden
+      // trigger, so the U1 injection path gets real volume (the
+      // trigger-derived heads are almost all contained)
+      val tokHeads = tagged
+        .select(col("sentKey"), col("senNum").as("rec"),
+          posexplode(col("tokens")).as(Seq("pos", "tok")))
+        .filter((col("rec") * 31 + col("pos")) % 29 === 0)
+        .select(col("sentKey"), col("pos").as("tokIdx"), col("tok"))
+      val heads = trigHeads.unionByName(tokHeads)
+        .groupBy("sentKey", "tokIdx").agg(min(col("tok")).as("tok"))
+      val aligned = Pipeline.alignHeads(heads, sentToks)
+      val injected = Pipeline
+        .injectTempRelOnlyEvents(s, aligned, events, tagged)
+        .filter(col("eventType") === "") // golden events are all typed
+      val out = aligned
+        .select(lit("align").as("kind"), col("sentKey").as("sent_key"),
+          col("tokIdx").as("idx_in"), col("alignedIdx").as("idx_out"),
+          col("alignedTok").as("tok"))
+        .unionByName(injected
+          .select(lit("inject").as("kind"), col("sentKey").as("sent_key"),
+            col("trigStart").as("idx_in"), col("trigStart").as("idx_out"),
+            col("trigText").as("tok")))
+        .orderBy("kind", "sent_key", "idx_in", "idx_out")
+      // materialize, then release the five fromAnnotations base caches
+      val cached = out.persist()
+      cached.count()
+      anns.foreach(_.caches.foreach(_.unpersist()))
+      cached
+    }),
+    "q42_duration_speculation" -> ((s, dir) => {
+      // J2 (duration blank-then-join, main.py:173-175/209-215), P10
+      // (duration lexicon label, views.py:20-52 / utils_duration.py:9)
+      // and P9 (speculation from the negation scope, main.py:226-230)
+      // driver-checked on reference data: golden events from all five
+      // corpora run the REAL Pipeline.durations (Taggers.durationOf) and
+      // Pipeline.enrich, with the negation scope computed live by the
+      // q34-checked Taggers.negationCues/negationScope over the golden
+      // tokens. The oracle re-derives the lemma chain, the duration
+      // lexicon, and the first-cue scope rule independently in SQL.
+      import s.implicits._
+      import graft.tag.Taggers
+      val corpora = Seq("test_ace", "test_tbd", "dev_ace", "dev_tbd", "train_tbd")
+      val anns = corpora.map { f =>
+        Pipeline.fromAnnotations(s,
+          graft.sources.Sources.readAnnotationArray(s,
+            s"/root/reference/component/Duration/Mu_test_data/$f.pred.json"),
+          "eventplus", s"Mu_test_data/$f.pred.json")
+      }
+      val tagged = anns.map(_.tagged).reduce(_ union _)
+        .map { t =>
+          val cues = Taggers.negationCues(t.tokens)
+          t.copy(negationCue = cues,
+            negationScope = Taggers.negationScope(t.tokens, cues))
+        }
+      val events = anns.map(_.events.drop("duration", "speculation")
+        .as[Pipeline.EventRow]).reduce(_ union _)
+      val durs = Pipeline.durations(s, events)
+      val out = Pipeline.enrich(s, events, durs, tagged)
+        .select(col("sentKey").as("sent_key"),
+          col("trigStart").as("trig_start"), col("trigText").as("trig_text"),
+          col("duration"), col("speculation").as("speculated"))
+        .orderBy("sent_key", "trig_start")
+      val cached = out.persist()
+      cached.count()
+      anns.foreach(_.caches.foreach(_.unpersist()))
+      cached
+    }),
     "q30_golden_spans" -> ((s, dir) => {
       // P3 (BIO->span decode) + P4 (span->text projection) made driver-
       // checkable: every golden span (ner/trigger/argument) from the
@@ -1224,6 +1330,114 @@ object SparkEntry {
     // spanText instead, so the BIO decode path and the text projection
     // are value-checked against an independent derivation on 832 real
     // reference-annotated sentences.
+    // q41: the J1/U1 merge in SQL — perturbed heads, the |Δ| ≤ 2 band,
+    // '.'-strip on both sides, nearest-then-lowest-index pick as a
+    // window, and the containment anti-join as NOT EXISTS.
+    "q41_align_inject" ->
+      """WITH f AS (SELECT regexp_extract(filename, '([a-z_]+)\.pred\.json', 1) AS src, json(content) AS j
+        |           FROM read_text(['/root/reference/component/Duration/Mu_test_data/test_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/train_tbd.pred.json'])),
+        |recs AS (SELECT src, unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx,
+        |                unnest(json_extract(j,'$[*]')) AS rec FROM f),
+        |tok AS (SELECT src, CAST(rec_idx AS INTEGER) AS ri,
+        |               CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens, rec FROM recs),
+        |trig AS (SELECT DISTINCT src, ri, CAST(tr->>'$.start_token' AS INTEGER) AS start
+        |         FROM (SELECT src, ri, unnest(CAST(ev->'$.triggers' AS JSON[])) AS tr
+        |               FROM (SELECT src, ri, unnest(CAST(rec->'$.events' AS JSON[])) AS ev FROM tok))),
+        |heads0 AS (SELECT g.src, g.ri,
+        |                  g.start + ((g.ri + g.start) % 6) - 2 AS tokidx,
+        |                  t.tokens[g.start + 1] ||
+        |                    (CASE WHEN (g.ri + g.start) % 7 = 0 THEN '.' ELSE '' END) AS tok
+        |           FROM trig g JOIN tok t ON t.src = g.src AND t.ri = g.ri),
+        |pos AS (SELECT src, ri, CAST(i AS INTEGER) AS b,
+        |               tokens[CAST(i AS INTEGER) + 1] AS btok
+        |        FROM (SELECT src, ri, tokens,
+        |                     unnest(range(CAST(len(tokens) AS BIGINT))) AS i FROM tok)),
+        |heads AS (SELECT src, ri, tokidx, min(tok) AS tok
+        |          FROM (SELECT src, ri, tokidx, tok FROM heads0
+        |                UNION ALL
+        |                SELECT src, ri, b, btok FROM pos
+        |                WHERE (ri * 31 + b) % 29 = 0)
+        |          GROUP BY src, ri, tokidx),
+        |cand AS (SELECT h.src, h.ri, h.tokidx, p.b, p.btok,
+        |                row_number() OVER (PARTITION BY h.src, h.ri, h.tokidx
+        |                                   ORDER BY abs(p.b - h.tokidx), p.b) AS rn
+        |         FROM heads h JOIN pos p ON p.src = h.src AND p.ri = h.ri
+        |           AND replace(p.btok, '.', '') = replace(h.tok, '.', '')
+        |           AND abs(p.b - h.tokidx) <= 2),
+        |aligned AS (SELECT src, ri, tokidx, b AS alignedidx, btok FROM cand WHERE rn = 1),
+        |inj AS (SELECT DISTINCT a.src, a.ri, a.alignedidx, a.btok FROM aligned a
+        |        WHERE NOT EXISTS (SELECT 1 FROM trig t
+        |                          WHERE t.src = a.src AND t.ri = a.ri
+        |                            AND t.start = a.alignedidx)),
+        |keyed AS (SELECT 'align' AS kind,
+        |                 'eventplus/Mu_test_data/' || src || '.pred.json#L0:S' || ri AS sent_key,
+        |                 tokidx AS idx_in, alignedidx AS idx_out, btok AS tok FROM aligned
+        |          UNION ALL
+        |          SELECT 'inject',
+        |                 'eventplus/Mu_test_data/' || src || '.pred.json#L0:S' || ri,
+        |                 alignedidx, alignedidx, btok FROM inj)
+        |SELECT kind, sent_key, idx_in, idx_out, tok FROM keyed
+        |ORDER BY kind, sent_key, idx_in, idx_out""".stripMargin,
+
+    // q42: the duration + speculation enrichment in SQL — irregular-past
+    // + suffix-strip lemma chain, the trigger-duration lexicon as VALUES,
+    // blank for unmatched lemmas (J2), and the q34 first-cue scope rule
+    // evaluated at the trigger position (P9).
+    "q42_duration_speculation" ->
+      """WITH f AS (SELECT regexp_extract(filename, '([a-z_]+)\.pred\.json', 1) AS src, json(content) AS j
+        |           FROM read_text(['/root/reference/component/Duration/Mu_test_data/test_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/train_tbd.pred.json'])),
+        |recs AS (SELECT src, unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx,
+        |                unnest(json_extract(j,'$[*]')) AS rec FROM f),
+        |tok AS (SELECT src, CAST(rec_idx AS INTEGER) AS ri,
+        |               CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens,
+        |               [lower(x) for x in CAST(rec->'$.tokens' AS VARCHAR[])] AS low, rec FROM recs),
+        |trig AS (SELECT src, ri, CAST(tr->>'$.start_token' AS INTEGER) AS start, tr->>'$.text' AS ttext
+        |         FROM (SELECT src, ri, unnest(CAST(ev->'$.triggers' AS JSON[])) AS tr
+        |               FROM (SELECT src, ri, unnest(CAST(rec->'$.events' AS JSON[])) AS ev FROM tok))),
+        |irr(surface, lemma) AS (VALUES ('toured','tour'), ('traveled','travel'), ('deployed','deploy'), ('arrived','arrive'), ('attacked','attack'), ('bombed','bomb'), ('invaded','invade'), ('protested','protest'), ('marched','march'), ('met','meet'), ('visited','visit'), ('called','call'), ('wrote','write'), ('acquitted','acquit'), ('appealed','appeal'), ('arrested','arrest'), ('jailed','jail'), ('indicted','indict'), ('charged','charge'), ('convicted','convict'), ('executed','execute'), ('extradited','extradite'), ('fined','fine'), ('pardoned','pardon'), ('paroled','parole'), ('sentenced','sentence'), ('sued','sue'), ('testified','testify'), ('died','die'), ('perished','perish'), ('divorced','divorce'), ('injured','injure'), ('wounded','wound'), ('married','marry'), ('wed','wed'), ('elected','elect'), ('resigned','resign'), ('retired','retire'), ('nominated','nominate'), ('appointed','appoint'), ('hired','hire'), ('paid','pay'), ('donated','donate'), ('bought','buy'), ('sold','sell'), ('acquired','acquire'), ('founded','found'), ('merged','merge'), ('dissolved','dissolve'), ('said','say'), ('announced','announce'), ('reported','report'), ('began','begin'), ('continued','continue'), ('ended','end'), ('happened','happen'), ('expected','expect'), ('planned','plan'), ('decided','decide'), ('returned','return'), ('left','leave')),
+        |durlex(lemma, dur) AS (VALUES ('acquire','weeks'), ('acquit','inst'), ('appeal','months'), ('appoint','inst'), ('arrest','mins'), ('arrive','hours'), ('attack','mins'), ('bankrupt','inst'), ('bomb','secs'), ('born','inst'), ('buy','inst'), ('call','mins'), ('charge','inst'), ('convict','inst'), ('deploy','weeks'), ('die','inst'), ('dissolve','inst'), ('divorce','inst'), ('donate','inst'), ('elect','inst'), ('execute','inst'), ('extradite','days'), ('fine','inst'), ('found','years'), ('hire','inst'), ('indict','inst'), ('injure','inst'), ('invade','weeks'), ('jail','years'), ('launch','months'), ('march','hours'), ('marry','hours'), ('meet','hours'), ('merge','months'), ('nominate','inst'), ('pardon','inst'), ('parole','inst'), ('pay','inst'), ('perish','inst'), ('protest','hours'), ('resign','inst'), ('retire','inst'), ('sell','inst'), ('sentence','inst'), ('sue','months'), ('testify','hours'), ('tour','days'), ('travel','days'), ('visit','days'), ('wed','hours'), ('wound','inst'), ('write','mins')),
+        |lem AS (SELECT t.src, t.ri, t.start, t.ttext,
+        |  COALESCE(i.lemma, CASE WHEN length(w2)>4 AND w2 LIKE '%ies' THEN substr(w2,1,length(w2)-3)||'y'
+        |    WHEN length(w2)>4 AND w2 LIKE '%ing' THEN substr(w2,1,length(w2)-3)
+        |    WHEN length(w2)>3 AND w2 LIKE '%ed' THEN substr(w2,1,length(w2)-2)
+        |    WHEN length(w2)>3 AND w2 LIKE '%es' THEN substr(w2,1,length(w2)-2)
+        |    WHEN length(w2)>3 AND w2 LIKE '%s' AND NOT w2 LIKE '%ss' THEN substr(w2,1,length(w2)-1)
+        |    ELSE w2 END) AS lemma
+        |  FROM (SELECT src, ri, start, ttext,
+        |               lower(list_extract(str_split(ttext, ' '), 1)) AS w1,
+        |               regexp_replace(lower(list_extract(str_split(ttext, ' '), 1)), '''s$','') AS w2
+        |        FROM trig) t
+        |  LEFT JOIN irr i ON i.surface = t.w1),
+        |labs AS (SELECT src, ri, ip,
+        |  CASE WHEN low[ip] = 'not' THEN 1
+        |       WHEN len([s for s in range(greatest(1, ip - 2), ip + 1)
+        |                 if s + 2 <= n AND ((low[s] = 'by' AND low[s+1] = 'no' AND low[s+2] = 'means')
+        |                                 OR (low[s] = 'not' AND low[s+1] = 'at' AND low[s+2] = 'all'))]) > 0 THEN 2
+        |       WHEN list_contains(['not','n''t','never','no','without','cannot'], low[ip]) THEN 1
+        |       WHEN list_contains(['unable','unlikely','unavailable','unconfirmed','unverified','impossible','improbable','disallowed','disabled','disproved'], low[ip]) THEN 0
+        |       ELSE 3 END AS cue
+        |  FROM (SELECT src, ri, tokens, low, len(tokens) AS n,
+        |               unnest(range(1, len(tokens) + 1)) AS ip FROM tok)),
+        |firsts AS (SELECT src, ri, MIN(ip) AS firstp FROM labs WHERE cue <> 3 GROUP BY src, ri)
+        |SELECT 'eventplus/Mu_test_data/' || l.src || '.pred.json#L0:S' || l.ri AS sent_key,
+        |       l.start AS trig_start, l.ttext AS trig_text,
+        |       COALESCE(d.dur, '') AS duration,
+        |       (fi.firstp IS NOT NULL AND l.start + 1 >= fi.firstp
+        |        AND NOT list_contains(['.','!','?'], t.tokens[l.start + 1])) AS speculated
+        |FROM lem l
+        |LEFT JOIN durlex d USING (lemma)
+        |LEFT JOIN firsts fi ON fi.src = l.src AND fi.ri = l.ri
+        |JOIN tok t ON t.src = l.src AND t.ri = l.ri
+        |ORDER BY sent_key, trig_start""".stripMargin,
+
     "q30_golden_spans" ->
       """WITH f AS (SELECT regexp_extract(filename, '([a-z_]+)\.pred\.json', 1) AS src, json(content) AS j
         |           FROM read_text(['/root/reference/component/Duration/Mu_test_data/test_ace.pred.json',

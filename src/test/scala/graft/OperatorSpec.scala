@@ -211,7 +211,7 @@ class OperatorSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
     // pinned so a future edit that drops a query or oracle fails loudly
     // (update BOTH numbers AND the README/SURVEY counts when adding)
-    assert(qs.size == 48, s"queries: ${qs.size}")
-    assert(os.size == 38, s"oracles: ${os.size}")
+    assert(qs.size == 50, s"queries: ${qs.size}")
+    assert(os.size == 45, s"oracles: ${os.size}")
   }
 }
