@@ -26,8 +26,28 @@ object QBench {
         if (t.taskMetrics != null)
           stageTime.updateWith(t.stageId) { v => Some(v.getOrElse(0L) + t.taskMetrics.executorRunTime) }
     })
+    val committed = args.lift(2).contains("committed")
     val t0 = System.nanoTime()
-    val n = Triples.fromFiles(spark, Synth.corpus(spark, nFiles, 8)).count()
+    val n =
+      if (committed) {
+        // the Bench/triplesFor shape: committed emit + set-dedup + cache,
+        // then repeated aggregates against the warm cache
+        val distinct = Triples.fromFilesDistinctCommitted(spark,
+          Synth.corpus(spark, nFiles, 8))
+        val c = distinct.count()
+        val tMid = System.nanoTime()
+        println(f"PROBE committed+dedup wall=${(tMid-t0)/1e9}%.1f")
+        for (i <- 1 to 3) {
+          val tq = System.nanoTime()
+          distinct.groupBy("pred").count().count()
+          println(f"PROBE agg$i wall=${(System.nanoTime()-tq)/1e9}%.2f")
+        }
+        val plan = distinct.groupBy("pred").count()
+          .queryExecution.executedPlan.toString
+        println("PROBE planHasCache=" + plan.contains("InMemory") +
+          " planHead=" + plan.linesIterator.take(12).mkString(" / ").take(600))
+        c
+      } else Triples.fromFiles(spark, Synth.corpus(spark, nFiles, 8)).count()
     val wall = (System.nanoTime()-t0)/1e9
     println(f"PROBE wall=$wall%.1f totalTaskSec=${stageTime.values.sum/1000.0}%.1f triples=$n")
     stageTime.toSeq.sortBy(-_._2).take(15).foreach { case (id, ms) =>
