@@ -88,10 +88,13 @@ object SparkEntry {
         .orderBy(col("n").desc, col("entity")).limit(20)),
     "kg_timeline" -> ((s, dir) =>
       // per-doc timeline fit (timelinemodule.py analog) over the cached
-      // triples; summarized as per-doc event counts + spread
+      // triples; summarized as per-doc event counts + total normalized
+      // mass. SUM, not AVG: the t values sit on a 1/10000 grid, so a
+      // rounded sum is boundary-free across engines while avg lands
+      // exactly on .00005 boundaries whenever n_events is even
       graft.eval.Timeline.fitFromTriples(s, triplesFor(s, dir))
         .groupBy("doc").agg(count(lit(1)).as("n_events"),
-          round(avg(col("t")), 4).as("mean_t"))
+          round(sum(col("t")), 4).as("total_t"))
         .orderBy("doc")),
 
     // the relational back half of the KG pipeline (assembly → linking →
@@ -805,6 +808,34 @@ object SparkEntry {
     "kg_entities_top" ->
       (goldCte + "SELECT obj AS entity, count(*) AS n FROM gold " +
         "WHERE pred = 'hasEntity' GROUP BY obj ORDER BY n DESC, entity LIMIT 20"),
+    // kg_timeline: the A8 longest-path layering per document over the
+    // gold relation triples — directed weighted edges, per-doc recursive
+    // reach, per-doc min-max normalization with half-even rounding
+    // (round_even = Scala math.rint), then the per-doc summary.
+    "kg_timeline" ->
+      ("WITH RECURSIVE gold AS (SELECT * FROM read_csv('/tmp/graft_gold/*/gold_triples.tsv', " +
+        "delim='\\t', header=true, all_varchar=true, filename=true) " +
+        "WHERE filename LIKE '%/n' || (SELECT CASE count(*) " +
+        "WHEN 6000 THEN '60_s6' WHEN 60000 THEN '600_s6' " +
+        "WHEN 600000 THEN '6000_s8' ELSE 'unknown' END FROM lineitem) || '/%'), " +
+        """e AS (SELECT str_split(subj, '#L')[1] AS doc, subj, obj, pred FROM gold
+          |       WHERE pred IN ('BEFORE','AFTER','SIMULTANEOUS','INCLUDES','IS_INCLUDED')),
+          |dedges AS (SELECT doc, subj AS src, obj AS dst, 1 AS w FROM e WHERE pred = 'BEFORE'
+          |  UNION ALL SELECT doc, obj, subj, 1 FROM e WHERE pred = 'AFTER'
+          |  UNION ALL SELECT doc, subj, obj, 0 FROM e WHERE pred IN ('SIMULTANEOUS','INCLUDES','IS_INCLUDED')
+          |  UNION ALL SELECT doc, obj, subj, 0 FROM e WHERE pred IN ('SIMULTANEOUS','INCLUDES','IS_INCLUDED')),
+          |nodes AS (SELECT DISTINCT doc, subj AS v FROM e UNION SELECT DISTINCT doc, obj FROM e),
+          |reach(doc, v, d) AS (SELECT doc, v, 0 FROM nodes
+          |  UNION SELECT de.doc, de.dst, r.d + de.w FROM reach r
+          |        JOIN dedges de ON de.doc = r.doc AND de.src = r.v WHERE r.d + de.w <= 1000),
+          |tval AS (SELECT doc, v, MAX(d) AS d FROM reach GROUP BY doc, v),
+          |stats AS (SELECT doc, MIN(d) AS lo, MAX(d) - MIN(d) AS span FROM tval GROUP BY doc),
+          |tt AS (SELECT t.doc, t.v,
+          |  CASE WHEN s.span = 0 THEN 0.0
+          |       ELSE round_even((CAST(t.d - s.lo AS DOUBLE) / s.span) * 10000, 0) / 10000 END AS t
+          |  FROM tval t JOIN stats s USING (doc))
+          |SELECT doc, COUNT(*) AS n_events, CAST(ROUND(SUM(t), 4) AS DOUBLE) AS total_t
+          |FROM tt GROUP BY doc ORDER BY doc""".stripMargin),
 
     // kg_timeline_golden: the A8 timeline re-derived end-to-end in SQL —
     // first-connective relation labeling over golden TimeBank triggers,

@@ -212,6 +212,6 @@ class OperatorSpec extends AnyFunSuite {
     // pinned so a future edit that drops a query or oracle fails loudly
     // (update BOTH numbers AND the README/SURVEY counts when adding)
     assert(qs.size == 50, s"queries: ${qs.size}")
-    assert(os.size == 45, s"oracles: ${os.size}")
+    assert(os.size == 46, s"oracles: ${os.size}")
   }
 }
