@@ -385,6 +385,40 @@ object SparkEntry {
         .toDF("src", "rec_idx", "start_tok", "end_tok", "label")
         .orderBy("src", "rec_idx", "start_tok")
     }),
+    "q43_ner_eval" -> ((s, dir) => {
+      // J7/A5 driver-checked on reference data: strict span(+label)
+      // P/R/F1 (eval.py:207-221 tuples) of the gazetteer NER stage's
+      // output against the golden `ner` annotations, per corpus — via
+      // Eval.spanPRFByKey, the DISTRIBUTED eval shape (semi-join +
+      // groupBy only, no driver count() actions). The oracle re-derives
+      // the pred side with the q38 recursive-CTE gazetteer walk and the
+      // gold side straight from the JSON, then mirrors the three
+      // grouped counts and the double P/R/F1 arithmetic.
+      import graft.eval.Eval
+      val ann = goldenAnn(s).select(col("src"),
+        col("rec_idx").cast("long"), col("tokens"), col("ner"))
+      import s.implicits._
+      val pred = ann
+        .select(col("src"), col("rec_idx"), col("tokens"))
+        .flatMap { r =>
+          val src = r.getString(0)
+          val rec = r.getLong(1)
+          val tokens: Seq[String] =
+            Option(r.getSeq[String](2)).getOrElse(Seq.empty)
+          graft.tag.Taggers.nerSpans(tokens).map(sp =>
+            (src, rec, sp.start, sp.end, sp.label))
+        }
+        .toDF("src", "rec_idx", "start_tok", "end_tok", "label")
+      val gold = ann
+        .select(col("src"), col("rec_idx"), explode(col("ner")).as("n"))
+        .select(col("src"), col("rec_idx"),
+          try_element_at(col("n"), lit(1)).cast("int").as("start_tok"),
+          try_element_at(col("n"), lit(2)).cast("int").as("end_tok"),
+          try_element_at(col("n"), lit(3)).as("label"))
+      Eval.spanPRFByKey(pred, gold, Seq("src"),
+          Seq("rec_idx", "start_tok", "end_tok", "label"))
+        .orderBy("src")
+    }),
     "q37_sentsplit" -> ((s, dir) => {
       // S1's segmentation half driver-checked: Text.sentSplit over every
       // document plus planted multi-sentence rows (the corpus documents
@@ -778,6 +812,38 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (KG pipeline, LSH/minhash/simhash signatures, custom expression,
     * synthetic media) → driver records a weaker rows-only check. */
+  /** Shared DuckDB CTE block: the five golden corpora + inlined gazetteer
+    * + the greedy longest-match scan (skip semantics included) as a
+    * recursive-CTE cursor walk. Ends with the `walk` CTE defined; q38
+    * selects the spans directly, q43 evals them against the golden `ner`
+    * field. */
+  private val gazWalkCtes: String =
+    """WITH RECURSIVE f AS (SELECT regexp_extract(filename, '([a-z_]+)\.pred\.json', 1) AS src, json(content) AS j
+      |           FROM read_text(['/root/reference/component/Duration/Mu_test_data/test_ace.pred.json',
+      |                           '/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json',
+      |                           '/root/reference/component/Duration/Mu_test_data/dev_ace.pred.json',
+      |                           '/root/reference/component/Duration/Mu_test_data/dev_tbd.pred.json',
+      |                           '/root/reference/component/Duration/Mu_test_data/train_tbd.pred.json'])),
+      |g2(w1, w2, typ) AS (VALUES ('George','Pataki','PER'), ('Mary','Jones','PER'), ('John','Smith','PER'), ('Elena','Garcia','PER'), ('Wei','Chen','PER'), ('Amir','Hassan','PER'), ('the','president','PER'), ('the','governor','PER'), ('the','senator','PER'), ('New','York','GPE'), ('the','Army','ORG'), ('the','Senate','ORG'), ('Acme','Corp','ORG'), ('Globex','Inc','ORG'), ('the','court','ORG'), ('the','police','ORG'), ('the','airport','FAC'), ('the','bridge','FAC'), ('the','hospital','FAC'), ('the','river','LOC'), ('the','border','LOC'), ('a','truck','VEH'), ('the','convoy','VEH'), ('a','rifle','WEA'), ('the','missile','WEA'), ('Persian','Gulf','LOC')),
+      |g1(w1, typ) AS (VALUES ('Baghdad','GPE'), ('France','GPE'), ('Texas','GPE'), ('Kabul','GPE'), ('California','GPE'), ('U.S.','GPE'), ('Army','ORG'), ('soldiers','PER'), ('region','LOC'), ('governor','PER'), ('counties','GPE'), ('Pataki','PER'), ('Jones','PER'), ('Smith','PER'), ('Garcia','PER'), ('Chen','PER'), ('Hassan','PER')),
+      |recs AS (SELECT src, unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx, unnest(json_extract(j,'$[*]')) AS rec FROM f),
+      |tok AS (SELECT src, rec_idx, CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens, len(CAST(rec->'$.tokens' AS VARCHAR[])) AS n FROM recs
+      |        WHERE len(CAST(rec->'$.tokens' AS VARCHAR[])) > 0),
+      |walk(src, rec_idx, cur, mstart, mend, mtyp) AS (
+      |  SELECT src, rec_idx, 1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR) FROM tok
+      |  UNION ALL
+      |  SELECT w.src, w.rec_idx,
+      |    CASE WHEN m2.typ IS NOT NULL THEN w.cur + 2 ELSE w.cur + 1 END,
+      |    CASE WHEN m2.typ IS NOT NULL OR m1.typ IS NOT NULL THEN w.cur ELSE NULL END,
+      |    CASE WHEN m2.typ IS NOT NULL THEN w.cur + 1
+      |         WHEN m1.typ IS NOT NULL THEN w.cur ELSE NULL END,
+      |    COALESCE(m2.typ, m1.typ)
+      |  FROM walk w
+      |  JOIN tok t ON t.src = w.src AND t.rec_idx = w.rec_idx
+      |  LEFT JOIN g2 m2 ON w.cur + 1 <= t.n AND t.tokens[w.cur] = m2.w1 AND t.tokens[w.cur + 1] = m2.w2
+      |  LEFT JOIN g1 m1 ON m2.typ IS NULL AND t.tokens[w.cur] = m1.w1
+      |  WHERE w.cur <= t.n)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // ---- composed-pipeline value checks (kg_* over the synthetic
     // corpus). The oracle aggregates the INDEPENDENTLY DERIVED gold
@@ -1056,36 +1122,50 @@ object SparkEntry {
 
     // q38: the greedy longest-match gazetteer scan (skip semantics
     // included) simulated as a recursive-CTE cursor walk.
-    "q38_gazetteer_ner" ->
-      """WITH RECURSIVE f AS (SELECT regexp_extract(filename, '([a-z_]+)\.pred\.json', 1) AS src, json(content) AS j
-        |           FROM read_text(['/root/reference/component/Duration/Mu_test_data/test_ace.pred.json',
-        |                           '/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json',
-        |                           '/root/reference/component/Duration/Mu_test_data/dev_ace.pred.json',
-        |                           '/root/reference/component/Duration/Mu_test_data/dev_tbd.pred.json',
-        |                           '/root/reference/component/Duration/Mu_test_data/train_tbd.pred.json'])),
-        |g2(w1, w2, typ) AS (VALUES ('George','Pataki','PER'), ('Mary','Jones','PER'), ('John','Smith','PER'), ('Elena','Garcia','PER'), ('Wei','Chen','PER'), ('Amir','Hassan','PER'), ('the','president','PER'), ('the','governor','PER'), ('the','senator','PER'), ('New','York','GPE'), ('the','Army','ORG'), ('the','Senate','ORG'), ('Acme','Corp','ORG'), ('Globex','Inc','ORG'), ('the','court','ORG'), ('the','police','ORG'), ('the','airport','FAC'), ('the','bridge','FAC'), ('the','hospital','FAC'), ('the','river','LOC'), ('the','border','LOC'), ('a','truck','VEH'), ('the','convoy','VEH'), ('a','rifle','WEA'), ('the','missile','WEA'), ('Persian','Gulf','LOC')),
-        |g1(w1, typ) AS (VALUES ('Baghdad','GPE'), ('France','GPE'), ('Texas','GPE'), ('Kabul','GPE'), ('California','GPE'), ('U.S.','GPE'), ('Army','ORG'), ('soldiers','PER'), ('region','LOC'), ('governor','PER'), ('counties','GPE'), ('Pataki','PER'), ('Jones','PER'), ('Smith','PER'), ('Garcia','PER'), ('Chen','PER'), ('Hassan','PER')),
-        |recs AS (SELECT src, unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx, unnest(json_extract(j,'$[*]')) AS rec FROM f),
-        |tok AS (SELECT src, rec_idx, CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens, len(CAST(rec->'$.tokens' AS VARCHAR[])) AS n FROM recs
-        |        WHERE len(CAST(rec->'$.tokens' AS VARCHAR[])) > 0),
-        |walk(src, rec_idx, cur, mstart, mend, mtyp) AS (
-        |  SELECT src, rec_idx, 1, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR) FROM tok
-        |  UNION ALL
-        |  SELECT w.src, w.rec_idx,
-        |    CASE WHEN m2.typ IS NOT NULL THEN w.cur + 2 ELSE w.cur + 1 END,
-        |    CASE WHEN m2.typ IS NOT NULL OR m1.typ IS NOT NULL THEN w.cur ELSE NULL END,
-        |    CASE WHEN m2.typ IS NOT NULL THEN w.cur + 1
-        |         WHEN m1.typ IS NOT NULL THEN w.cur ELSE NULL END,
-        |    COALESCE(m2.typ, m1.typ)
-        |  FROM walk w
-        |  JOIN tok t ON t.src = w.src AND t.rec_idx = w.rec_idx
-        |  LEFT JOIN g2 m2 ON w.cur + 1 <= t.n AND t.tokens[w.cur] = m2.w1 AND t.tokens[w.cur + 1] = m2.w2
-        |  LEFT JOIN g1 m1 ON m2.typ IS NULL AND t.tokens[w.cur] = m1.w1
-        |  WHERE w.cur <= t.n)
-        |SELECT src, rec_idx, CAST(mstart - 1 AS INTEGER) AS start_tok,
+    "q38_gazetteer_ner" -> (gazWalkCtes + "\n" +
+      """SELECT src, rec_idx, CAST(mstart - 1 AS INTEGER) AS start_tok,
         |       CAST(mend - 1 AS INTEGER) AS end_tok, mtyp AS label
         |FROM walk WHERE mstart IS NOT NULL
-        |ORDER BY src, rec_idx, start_tok""".stripMargin,
+        |ORDER BY src, rec_idx, start_tok""".stripMargin),
+
+    // q43: strict span(+label) P/R/F1 of the q38 pred spans against the
+    // golden `ner` field, per corpus — the three grouped counts and the
+    // double arithmetic mirror Eval.spanPRFByKey exactly (int/int `/` is
+    // double division in DuckDB; 2.0*p*r/(p+r) is left-associative in
+    // both engines).
+    "q43_ner_eval" -> (gazWalkCtes + ",\n" +
+      """pred AS (SELECT DISTINCT src, rec_idx, mstart - 1 AS start_tok,
+        |                mend - 1 AS end_tok, mtyp AS label
+        |         FROM walk WHERE mstart IS NOT NULL),
+        |g0 AS (SELECT src, rec_idx, rec->'$.ner' AS nr FROM recs),
+        |g1i AS (SELECT src, rec_idx, nr,
+        |          unnest(range(CAST(COALESCE(json_array_length(nr), 0) AS BIGINT))) AS i
+        |        FROM g0),
+        |gold AS (SELECT DISTINCT src, rec_idx,
+        |           CAST(json_extract_string(nr, '$[' || i || '][0]') AS BIGINT) AS start_tok,
+        |           CAST(json_extract_string(nr, '$[' || i || '][1]') AS BIGINT) AS end_tok,
+        |           json_extract_string(nr, '$[' || i || '][2]') AS label
+        |         FROM g1i),
+        |corr AS (SELECT src, count(*) AS n_corr FROM pred p
+        |         WHERE EXISTS (SELECT 1 FROM gold g WHERE g.src = p.src
+        |           AND g.rec_idx = p.rec_idx AND g.start_tok = p.start_tok
+        |           AND g.end_tok = p.end_tok AND g.label = p.label)
+        |         GROUP BY src),
+        |np AS (SELECT src, count(*) AS n_pred FROM pred GROUP BY src),
+        |nt AS (SELECT src, count(*) AS n_true FROM gold GROUP BY src),
+        |j AS (SELECT COALESCE(np.src, nt.src) AS src,
+        |        COALESCE(n_corr, 0) AS n_corr, COALESCE(n_pred, 0) AS n_pred,
+        |        COALESCE(n_true, 0) AS n_true
+        |      FROM np FULL OUTER JOIN nt ON np.src = nt.src
+        |      LEFT JOIN corr ON COALESCE(np.src, nt.src) = corr.src),
+        |pr AS (SELECT src, n_corr, n_pred, n_true,
+        |         CASE WHEN n_pred = 0 THEN 0.0 ELSE n_corr / n_pred END AS precision,
+        |         CASE WHEN n_true = 0 THEN 0.0 ELSE n_corr / n_true END AS recall
+        |       FROM j)
+        |SELECT src, n_corr, n_pred, n_true, precision, recall,
+        |  CASE WHEN precision + recall = 0 THEN 0.0
+        |       ELSE 2.0 * precision * recall / (precision + recall) END AS f1
+        |FROM pr ORDER BY src""".stripMargin),
 
     // q37: sentence segmentation in SQL — every boundary condition is
     // position-independent (lookahead j/k, abbreviation word, decimal

@@ -33,6 +33,39 @@ object Eval {
       .toDF("n_corr", "n_pred", "n_true", "precision", "recall", "f1")
   }
 
+  /** Grouped strict-span P/R/F1 — the DISTRIBUTED shape of [[spanPRF]]
+    * (J7 at scale): one row per group, computed with joins + groupBy only
+    * (no driver-side count() actions), so a 10^12-span eval is three
+    * shuffles on the match key instead of three jobs per corpus. `pred`
+    * and `gold` both carry `grpCols ++ matchCols`; a prediction is correct
+    * iff an identical gold tuple exists within its group
+    * (eval.py:207-221 strict tuples, keyed). */
+  def spanPRFByKey(pred: DataFrame, gold: DataFrame,
+      grpCols: Seq[String], matchCols: Seq[String]): DataFrame = {
+    val all = (grpCols ++ matchCols).map(col)
+    val p = pred.select(all: _*).distinct()
+    val g = gold.select(all: _*).distinct()
+    val corr = p.join(g, grpCols ++ matchCols, "left_semi")
+      .groupBy(grpCols.map(col): _*).agg(count(lit(1)).as("n_corr"))
+    val nPred = p.groupBy(grpCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pred"))
+    val nTrue = g.groupBy(grpCols.map(col): _*)
+      .agg(count(lit(1)).as("n_true"))
+    val joined = nPred.join(nTrue, grpCols, "full_outer")
+      .join(corr, grpCols, "left_outer")
+      .na.fill(0L, Seq("n_corr", "n_pred", "n_true"))
+    val prec = when(col("n_pred") === 0, 0.0)
+      .otherwise(col("n_corr").cast("double") / col("n_pred"))
+    val rec = when(col("n_true") === 0, 0.0)
+      .otherwise(col("n_corr").cast("double") / col("n_true"))
+    joined
+      .withColumn("precision", prec)
+      .withColumn("recall", rec)
+      .withColumn("f1", when(col("precision") + col("recall") === 0, 0.0)
+        .otherwise(lit(2.0) * col("precision") * col("recall") /
+          (col("precision") + col("recall"))))
+  }
+
   /** Per-label weighted F1 excluding given labels (the MATRES weighted_f1
     * excluding VAGUE/NONE, joint_model.py:517-566). `pairs` has columns
     * (gold, pred). */

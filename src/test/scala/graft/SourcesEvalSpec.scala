@@ -57,6 +57,41 @@ class SourcesEvalSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("n_corr") == 3)
   }
 
+  test("J7 distributed: spanPRFByKey matches per-group spanPRF, handles " +
+      "pred-only and gold-only groups") {
+    val gold = Seq(("c1", "s1", 1, 2, "PER"), ("c1", "s1", 4, 4, "GPE"),
+      ("c1", "s2", 0, 1, "ORG"), ("c2", "s9", 5, 6, "PER"),
+      ("c3", "s3", 2, 2, "GPE")) // c3: gold-only group (no predictions)
+      .toDF("grp", "key", "start", "end", "label")
+    val pred = Seq(("c1", "s1", 1, 2, "PER"), ("c1", "s1", 4, 4, "LOC"),
+      ("c1", "s2", 0, 1, "ORG"), ("c1", "s2", 3, 3, "PER"),
+      ("c2", "s9", 5, 6, "PER"), ("c2", "s9", 5, 6, "PER"), // dup collapses
+      ("c4", "s7", 0, 0, "ORG")) // c4: pred-only group (no gold)
+      .toDF("grp", "key", "start", "end", "label")
+    val by = Eval.spanPRFByKey(pred, gold, Seq("grp"),
+        Seq("key", "start", "end", "label"))
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(by.keySet == Set("c1", "c2", "c3", "c4"))
+    // c1 agrees with the single-pair harness on the same data
+    val solo = Eval.spanPRF(
+      pred.filter(col("grp") === "c1").drop("grp"),
+      gold.filter(col("grp") === "c1").drop("grp")).head()
+    val c1 = by("c1")
+    for (f <- Seq("n_corr", "n_pred", "n_true"))
+      assert(c1.getAs[Long](f) == solo.getAs[Long](f), f)
+    for (f <- Seq("precision", "recall", "f1"))
+      assert(math.abs(c1.getAs[Double](f) - solo.getAs[Double](f)) < 1e-12, f)
+    // c2: duplicate prediction counted once -> perfect
+    assert(by("c2").getAs[Long]("n_pred") == 1)
+    assert(by("c2").getAs[Double]("f1") == 1.0)
+    // gold-only: recall 0, precision 0 (no preds), f1 0 -- not NaN
+    assert(by("c3").getAs[Long]("n_pred") == 0)
+    assert(by("c3").getAs[Double]("f1") == 0.0)
+    // pred-only: precision 0 (no gold), f1 0 -- not NaN
+    assert(by("c4").getAs[Long]("n_true") == 0)
+    assert(by("c4").getAs[Double]("f1") == 0.0)
+  }
+
   test("weighted F1 excludes VAGUE/NONE like the MATRES scorer") {
     val pairs = Seq(
       ("BEFORE", "BEFORE"), ("BEFORE", "AFTER"), ("AFTER", "AFTER"),
