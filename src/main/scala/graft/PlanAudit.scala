@@ -19,7 +19,8 @@ object PlanAudit {
       "q31_contained_args", "q32_dedup_clusters", "q33_copular_predicates",
       "q34_negation_scope", "q35_head_evidence", "q36_tokenize",
       "q37_sentsplit", "q38_gazetteer_ner", "q39_trigger_spans",
-      "q40_argument_spans")
+      "q40_argument_spans", "q41_align_inject", "q42_duration_speculation",
+      "q43_ner_eval")
     val sb = new StringBuilder
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)
