@@ -312,8 +312,8 @@ object Synth {
   // ---- file-level generation ----
 
   def fileSeed(repo: String, path: String): Long = {
-    val h1 = MurmurHash3.stringHash(repo + " " + path, 0x9747b28c)
-    val h2 = MurmurHash3.stringHash(path + " " + repo, 0x85ebca6b)
+    val h1 = MurmurHash3.stringHash(repo + "\u0000" + path, 0x9747b28c)
+    val h2 = MurmurHash3.stringHash(path + "\u0000" + repo, 0x85ebca6b)
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
   }
 

@@ -202,7 +202,7 @@ object Canonicalize {
     val bsz = count(lit(1)).over(Window.partitionBy("repo", "block"))
     val refined = base
       .withColumn("block", when(bsz > maxBlock,
-          concat(col("block"), lit(""),
+          concat(col("block"), lit("\u0001"),
             lower(element_at(split(col("text"), " "), 1))))
         .otherwise(col("block")))
     val bsz2 = count(lit(1)).over(Window.partitionBy("repo", "block"))

@@ -68,7 +68,7 @@ class SkewSpec extends AnyFunSuite {
     val files = Synth.corpus(spark, 30L, 5)
     def run(): Set[String] =
       Triples.emit(spark, Pipeline.annotate(spark, files))
-        .select(concat_ws("", col("subj"), col("pred"), col("obj")))
+        .select(concat_ws("\u0001", col("subj"), col("pred"), col("obj")))
         .as[String].collect().toSet
     val viaBroadcast = run()
     spark.conf.set("spark.graft.maxBroadcastRows", "0")
