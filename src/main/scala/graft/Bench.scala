@@ -68,6 +68,19 @@ object Bench {
       val bf = ids("q14_knn_bruteforce")
       ids("q29_ann_ivf").intersect(bf).size.toDouble / bf.size
     }
+    // the recall-vs-probe tradeoff recorded at a second probe setting
+    // (q29 probes 16 lists; 64 probes ≈ probe-all at bench scale) — the
+    // IVF analog of reporting both LSH regimes
+    val ivfRecall64 = grade("ivf_recall_at_10_probe64") {
+      import org.apache.spark.sql.functions.col
+      val bf = ids("q14_knn_bruteforce")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val query = emb.filter(col("vec_id") === 0)
+        .select("embedding").collect()(0).getSeq[Float](0)
+      val got = graft.ops.Similarity.ivfTopK(emb, query, 10, nProbe = 64)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      got.intersect(bf).size.toDouble / bf.size
+    }
     val lshRecall = grade("lsh_neardup_pair_recall") {
       val exact = pairs("q23_embed_neardup")
       if (exact.isEmpty) -1.0
@@ -107,7 +120,7 @@ object Bench {
       }
     }
 
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"triples_per_sec":$triplesPerSec,"ann_recall_at_10":$annRecall,"ivf_recall_at_10":$ivfRecall,"lsh_neardup_pair_recall":$lshRecall,"lsh_contract_recall":$lshContractRecall}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"triples_per_sec":$triplesPerSec,"ann_recall_at_10":$annRecall,"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_probe64":$ivfRecall64,"lsh_neardup_pair_recall":$lshRecall,"lsh_contract_recall":$lshContractRecall}"""
     println(line)
     // driver-parse-proof copy: sbt interleaves Spark INFO lines on stdout,
     // so the driver's tail-extraction can miss the metric line — also

@@ -49,23 +49,42 @@ object Main {
   /** Resume signature: for parquet inputs, the argument string alone would
     * silently resume from stale snapshots when the files change in place
     * under the same path — fold a content signature (sha256 of the sorted
-    * file listing with sizes and mtimes) into it. Synth inputs are already
-    * fully determined by the argument string. */
+    * file listing with sizes and mtimes) into it. Glob and comma-separated
+    * inputs (both accepted by spark.read.parquet) expand via globStatus;
+    * if the listing fails entirely, fall back to the raw argument string
+    * (the weaker pre-round-4 signature) rather than failing the job
+    * before the read. Synth inputs are fully determined by the argument
+    * string plus the generator version — Synth.GeneratorVersion bumps
+    * whenever the deterministic corpus content changes, so committed
+    * stages from an older generator never silently resume. */
   def inputSignature(spark: SparkSession, input: String): String =
-    if (input.startsWith("synth:")) input
-    else {
-      val p = new org.apache.hadoop.fs.Path(input)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(p, true)
+    if (input.startsWith("synth:")) input + "@g" + Synth.GeneratorVersion
+    else try {
+      val conf = spark.sparkContext.hadoopConfiguration
       val entries = scala.collection.mutable.ArrayBuffer[String]()
-      while (it.hasNext) {
-        val st = it.next()
-        entries +=
-          s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
+      input.split(",").map(_.trim).filter(_.nonEmpty).foreach { one =>
+        val p = new org.apache.hadoop.fs.Path(one)
+        val fs = p.getFileSystem(conf)
+        Option(fs.globStatus(p)).getOrElse(Array.empty).foreach { st =>
+          if (st.isDirectory) {
+            val it = fs.listFiles(st.getPath, true)
+            while (it.hasNext) {
+              val f = it.next()
+              entries +=
+                s"${f.getPath.toUri.getPath}:${f.getLen}:${f.getModificationTime}"
+            }
+          } else entries +=
+            s"${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
+        }
       }
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
       input + "@" + digest.map("%02x".format(_)).mkString.take(16)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[main] input listing failed ($e); " +
+          "falling back to argument-string resume signature")
+        input
     }
 
   /** The job body, session-agnostic (testable; `main` owns the session

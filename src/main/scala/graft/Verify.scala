@@ -21,6 +21,9 @@ object Verify {
     // driver's DuckDB pass can read it regardless of query order
     val (nFiles, spf) = graft.corpus.Synth.sizeForSfDir(sfDir)
     graft.gold.GoldDeriver.exportTsv(nFiles, spf)
+    // q44/q45 run at the fixed sf0.001 corpus shape at every scale
+    // directory — their oracles pin the n60_s6 export
+    graft.gold.GoldDeriver.exportTsv(60L, 6)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

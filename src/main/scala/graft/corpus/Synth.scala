@@ -311,6 +311,13 @@ object Synth {
 
   // ---- file-level generation ----
 
+  /** Bump whenever the deterministic corpus CONTENT changes for the same
+    * arguments (e.g. the round-4 fileSeed separator change): the resume
+    * signature (Main.inputSignature) folds this in, so checkpointed
+    * stages committed by an older generator are invalidated instead of
+    * silently resuming with stale content. */
+  val GeneratorVersion = 2
+
   def fileSeed(repo: String, path: String): Long = {
     val h1 = MurmurHash3.stringHash(repo + "\u0000" + path, 0x9747b28c)
     val h2 = MurmurHash3.stringHash(path + "\u0000" + repo, 0x85ebca6b)

@@ -68,22 +68,33 @@ object Eval {
 
   /** Per-label weighted F1 excluding given labels (the MATRES weighted_f1
     * excluding VAGUE/NONE, joint_model.py:517-566). `pairs` has columns
-    * (gold, pred). */
+    * (gold, pred). Distributed shape (the spanPRFByKey discipline): two
+    * label-keyed aggregations + one label-vocabulary-bounded join instead
+    * of three driver count() jobs per label — at 10^12 pairs this is two
+    * shuffles on the label key, and the only driver action is the final
+    * one-row reduce. */
   def weightedF1(pairs: DataFrame, exclude: Seq[String] = Seq("VAGUE", "NONE")): Double = {
     val kept = pairs.filter(!col("gold").isin(exclude: _*))
-    val labels = kept.select("gold").distinct().collect().map(_.getString(0))
-    val total = kept.count().toDouble
-    if (total == 0) return 0.0
-    labels.map { l =>
-      val tp = kept.filter(col("gold") === l && col("pred") === l).count().toDouble
-      val nPred = pairs.filter(col("pred") === l &&
-        !col("gold").isin(exclude: _*)).count().toDouble
-      val nTrue = kept.filter(col("gold") === l).count().toDouble
-      val p = if (nPred == 0) 0.0 else tp / nPred
-      val r = if (nTrue == 0) 0.0 else tp / nTrue
-      val f1 = if (p + r == 0) 0.0 else 2 * p * r / (p + r)
-      f1 * (nTrue / total)
-    }.sum
+    val byGold = kept.groupBy("gold").agg(
+      count(lit(1)).as("n_true"),
+      sum(when(col("pred") === col("gold"), 1L).otherwise(0L)).as("tp"))
+    val byPred = kept.groupBy(col("pred").as("gold"))
+      .agg(count(lit(1)).as("n_pred"))
+    val p = when(col("n_pred") === 0, 0.0)
+      .otherwise(col("tp").cast("double") / col("n_pred"))
+    val r = when(col("n_true") === 0, 0.0)
+      .otherwise(col("tp").cast("double") / col("n_true"))
+    val perLabel = byGold.join(byPred, Seq("gold"), "left")
+      .na.fill(0L, Seq("n_pred"))
+      .withColumn("p", p).withColumn("r", r)
+      .withColumn("f1", when(col("p") + col("r") === 0, 0.0)
+        .otherwise(lit(2.0) * col("p") * col("r") / (col("p") + col("r"))))
+    val row = perLabel
+      .agg(sum(col("f1") * col("n_true")).as("wsum"),
+        sum(col("n_true")).as("total"))
+      .collect()(0)
+    if (row.isNullAt(1) || row.getLong(1) == 0L) 0.0
+    else row.getDouble(0) / row.getLong(1)
   }
 
   /** Confusion matrix via stat.crosstab (A5/A7). */

@@ -129,7 +129,19 @@ object GoldDeriver {
         !java.nio.file.Files.exists(file)) {
       java.nio.file.Files.createDirectories(dir)
       val rows = goldTriples(nFiles, sentsPerFile).toSeq
-        .map(t => s"${t.subj}\t${t.pred}\t${t.obj}\t${t.repo}\t${t.path}\t${t.contentSha}")
+        .map { t =>
+          val fields =
+            Seq(t.subj, t.pred, t.obj, t.repo, t.path, t.contentSha)
+          // corpus-derived text must be TSV-safe: a tab/newline/backslash
+          // in any field would silently corrupt the DuckDB gold
+          // aggregation — fail LOUDLY at export instead
+          fields.find(f => f.exists(c => c == '\t' || c == '\n' ||
+              c == '\r' || c == '\\')).foreach { bad =>
+            throw new IllegalStateException(
+              s"gold triple field not TSV-safe: '${bad.take(80)}'")
+          }
+          fields.mkString("\t")
+        }
         .sorted
       val sb = new StringBuilder("subj\tpred\tobj\trepo\tpath\tcontentsha\n")
       rows.foreach(r => sb.append(r).append('\n'))

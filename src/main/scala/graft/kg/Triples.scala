@@ -46,7 +46,7 @@ object Triples {
   }
 
   private[kg] def emitWithCaches(spark: SparkSession,
-      ann: Pipeline.Annotated): (DataFrame, Seq[DataFrame]) = {
+      ann: Pipeline.Annotated, distinct: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     val events = ann.events.persist()
     // materialize the cache NOW: the canonicalization loop and the two
     // broadcast builds below otherwise race to each recompute the whole
@@ -76,9 +76,16 @@ object Triples {
       .select(Seq(col("eventId"), col("arg.role").as("role"),
         col("arg.text").as("text")) ++ lineage: _*)
     val formMap = Canonicalize.canonicalForms(spark, argMentions).persist()
-    val argTriples = Canonicalize.rewrite(argMentions, formMap, maxBroadcastRows)
+    val argTriplesRaw = Canonicalize.rewrite(argMentions, formMap, maxBroadcastRows)
       .select(Seq(col("eventId").as("subj"), col("role").as("pred"),
         col("canonical").as("obj")) ++ lineage: _*)
+    // set semantics: an event can carry the same (role, text) twice, and
+    // two distinct mention texts can canonicalize to one form — dedup on
+    // the triple identity only (lineage is functionally dependent on the
+    // subject, so the kept row is deterministic in content)
+    val argTriples =
+      if (distinct) argTriplesRaw.dropDuplicates("subj", "pred", "obj")
+      else argTriplesRaw
 
     // (event, hasDuration, D) for non-blank durations (J2 output)
     val durTriples = events.filter(col("duration") =!= "")
@@ -101,7 +108,7 @@ object Triples {
         concat(col("sentKey"), lit(":T"), col("rAligned")).as("obj")) ++ lineage: _*)
 
     // (doc, hasEntity, TYPE:text) — NER spans (views.py graph nodes analog)
-    val entTriples = ann.tagged
+    val entTriplesRaw = ann.tagged
       .select(col("repo"), col("path"), col("contentSha"), col("tokens"),
         explode(col("ner")).as("n"))
       .select(Seq(
@@ -110,6 +117,12 @@ object Triples {
         concat(col("n.label"), lit(":"),
           array_join(slice(col("tokens"), col("n.start") + 1,
             col("n.end") - col("n.start") + 1), " ")).as("obj")) ++ lineage: _*)
+    // set semantics: the same surface entity recurs within a document
+    // (~10% of rows at bench scale); subj is the document, so lineage is
+    // again functionally dependent and the dedup is content-deterministic
+    val entTriples =
+      if (distinct) entTriplesRaw.dropDuplicates("subj", "pred", "obj")
+      else entTriplesRaw
 
     // (event, sameAs, canonicalEvent) — event linking: block on
     // (repo, trigger lemma, type); canonical id = min eventId in block.
@@ -148,20 +161,25 @@ object Triples {
       numPartitions: Int = 0): DataFrame =
     emitCommitted(spark, Pipeline.annotate(spark, files), numPartitions)
 
-  /** Set-semantics committed emit: the triple frame deduplicated on all
-    * six columns (map-side partial aggregation collapses repeats before
-    * the one shuffle) and materialized via an EAGER localCheckpoint in a
-    * single pass — no intermediate persist of the raw union. The
-    * checkpoint truncates lineage, so repeated queries against the
-    * returned frame plan against a flat LogicalRDD instead of
-    * re-canonicalizing the whole pipeline DAG (measured ~9 s of driver
-    * time per query on the persisted-lineage variant). Every pipeline
-    * intermediate cache is released before returning. */
+  /** Set-semantics committed emit, materialized via an EAGER
+    * localCheckpoint in a single pass — no intermediate persist of the raw
+    * union. Deduplication happens PER BRANCH inside the emit (arg and
+    * entity triples, the only two branches whose rows can repeat — every
+    * other branch emits at most one row per event id or per distinct
+    * (sentKey, l, r) pair by construction), so only ~40% of the union's
+    * rows cross a dedup shuffle instead of the whole six-string frame
+    * (the round-4 variant globally dropDuplicates'd all 527k rows; a
+    * DistinctEmitSpec pins branch-dedup ≡ global-dedup). The checkpoint
+    * truncates lineage, so repeated queries against the returned frame
+    * plan against a flat LogicalRDD instead of re-canonicalizing the
+    * whole pipeline DAG (measured ~9 s of driver time per query on the
+    * persisted-lineage variant). Every pipeline intermediate cache is
+    * released before returning. */
   def fromFilesDistinctCommitted(spark: SparkSession,
       files: Dataset[SourceFile]): DataFrame = {
     val ann = Pipeline.annotate(spark, files)
-    val (out, caches) = emitWithCaches(spark, ann)
-    val snapped = out.dropDuplicates().localCheckpoint()
+    val (out, caches) = emitWithCaches(spark, ann, distinct = true)
+    val snapped = out.localCheckpoint()
     (caches ++ ann.caches).foreach(_.unpersist())
     snapped
   }

@@ -64,6 +64,16 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(t1 == t16)
   }
 
+  test("branch-level dedup in fromFilesDistinctCommitted equals the global triple SET") {
+    // the distinct snapshot dedups only the two branches that can repeat
+    // (arg + entity triples); this pins that shortcut to exact global
+    // set semantics — any branch that ever grows duplicate rows fails here
+    val files = Synth.corpus(spark, NFiles, Spf)
+    val branchDedup = Triples.fromFilesDistinctCommitted(spark, files)
+      .as[T6].collect().toSet
+    assert(branchDedup == pipelineTriples) // pipelineTriples is set(emit)
+  }
+
   test("flagship entry returns nonempty aggregate") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
