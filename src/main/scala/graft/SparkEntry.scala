@@ -889,6 +889,41 @@ object SparkEntry {
         .dropDuplicates()
         .orderBy("subj", "pred", "obj")
     }),
+    "q46_csv_roundtrip" -> ((s, dir) => {
+      // S5 (CSV sinks) made driver-checkable: a projection of the
+      // documents table — extended with a payload column that FORCES the
+      // quoting path (embedded quote, delimiter, newline, leading quote)
+      // — goes out through the real sink (Sources.writeCsv) and back in
+      // with an explicit schema; the oracle computes the same projection
+      // straight off the parquet. Any quoting/escaping/multiline bug in
+      // either direction of the round-trip fails the hash.
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv_q46").toString
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          concat(lit("\""), substring(col("text"), 1, 40), lit("\",\n'"),
+            col("lang")).as("payload"))
+      graft.sources.Sources.writeCsv(docs, tmp)
+      s.read.option("header", "true").option("multiLine", "true")
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("lang", StringType),
+          StructField("payload", StringType))))
+        .csv(tmp)
+        .orderBy("doc_id")
+    }),
+    "q47_timeline_fit" -> ((s, dir) => {
+      // A8 with the REFERENCE's objective (timelinemodule.py:103-216):
+      // per-doc Adam fit of (start, duration) on the binomial-CE +
+      // pairwise-L1 loss, deterministic variant, distributed one-shuffle
+      // groupByKey(doc). Hashed against the independent GoldDeriver
+      // mirror run over the GOLD triple set (gold_timelines.tsv) — a
+      // divergence in the optimizer arithmetic, the input wiring, or the
+      // composed pipeline's relation/duration triples fails the hash.
+      graft.eval.TimelineFit.fitFromTriples(s, triplesFor(s, dir))
+        .orderBy("doc", "event")
+    }),
     "q30_golden_spans" -> ((s, dir) => {
       // P3 (BIO->span decode) + P4 (span->text projection) made driver-
       // checkable: every golden span (ner/trigger/argument) from the
@@ -1730,6 +1765,28 @@ object SparkEntry {
         "SELECT DISTINCT subj, pred, obj FROM gold " +
         "WHERE pred IN ('hasType', 'hasDuration', 'speculated', 'hasEntity') " +
         "ORDER BY subj, pred, obj"),
+
+    // q46: the oracle computes the adversarial payload straight off the
+    // parquet — chr(34)=", chr(10)=\n, chr(39)=' — so the compare is
+    // sink-round-trip vs no-round-trip
+    "q46_csv_roundtrip" ->
+      ("SELECT doc_id, lang, chr(34) || substring(text, 1, 40) || chr(34) " +
+        "|| ',' || chr(10) || chr(39) || lang AS payload " +
+        "FROM documents ORDER BY doc_id"),
+
+    // q47: the gold-side timeline fit (GoldDeriver.goldTimelines — the
+    // independent mirror of the reference-loss Adam optimizer, run over
+    // the gold triple set, pre-rounded to 4 decimals) exported beside the
+    // triple TSV; sf picked from the lineitem row count like the kg_*
+    // oracles
+    "q47_timeline_fit" ->
+      ("WITH gold AS (SELECT * FROM read_csv('/tmp/graft_gold/*/gold_timelines.tsv', " +
+        "delim='\\t', header=true, all_varchar=true, filename=true) " +
+        "WHERE filename LIKE '%/n' || (SELECT CASE count(*) " +
+        "WHEN 6000 THEN '60_s6' WHEN 60000 THEN '600_s6' " +
+        "WHEN 600000 THEN '6000_s8' ELSE 'unknown' END FROM lineitem) || '/%') " +
+        "SELECT doc, event, CAST(start_pt AS DOUBLE) AS start_pt, " +
+        "CAST(duration AS DOUBLE) AS duration FROM gold ORDER BY doc, event"),
 
     // q19: every planted pixel/sample/byte re-derived from the same
     // integer formulas, histogram integer math mirrored end-to-end

@@ -1,0 +1,281 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tag.Ontology
+
+/** A8 with the REFERENCE's loss, not just its effect: per-document
+  * (start, duration) event timelines fitted by full-batch Adam gradient
+  * descent on the reference's composite objective — binomial-pmf
+  * cross-entropy over the 11 duration classes plus pairwise L1 on
+  * min-max-normalized fine-grained offsets
+  * (component/Duration/scripts/timelinemodule.py:156-216 `_custom_loss`,
+  * :247-285 `_binomial_dist`/`_log_prob_vectorized`, driven per document
+  * by run_model.py:128-150; Adam with torch defaults lr=1e-3,
+  * betas=(0.9,0.999), eps=1e-8).
+  *
+  * Deterministic variant — two documented deviations, both required to
+  * make the operator value-checkable:
+  *   1. parameter init is a hash of (doc, predicate index) instead of
+  *      `torch.randn` (timelinemodule.py:42-44);
+  *   2. a FIXED epoch budget replaces `epochs=5000` + the |Δloss|<1e-5
+  *      early stop (timelinemodule.py:145-147) — identical epoch counts
+  *      are what let an independent implementation reproduce the result
+  *      bit-for-bit.
+  * Fine-grained pair targets are deterministic per TempRel label (the
+  * reference feeds its relation model's fine-grained head predictions;
+  * model-free stand-in per SURVEY §7.4). The softmax input drops the
+  * per-predicate constant −n·softplus(L) term (constant across the 11
+  * classes, cancels in softmax — both this and the mirror use the
+  * reduced form).
+  *
+  * Gradients are analytic, mirroring autograd on the reference ops:
+  * cross-entropy through the binomial logits reduces to E_softmax[k]−c;
+  * the min/max in anchoring and per-pair normalization route their
+  * (sub)gradient to the FIRST extremal index, as torch.min/max do.
+  *
+  * Scale shape: ONE shuffle (groupByKey on doc); the fit is per-group
+  * local with document-bounded state, so 10^12 documents are 10^12
+  * independent small optimizations — embarrassingly parallel, no driver
+  * iteration (same shape as [[Timeline]], which remains the cheap
+  * layering analog).
+  */
+object TimelineFit {
+
+  /** Fixed optimization budget (deviation 2 above). */
+  val Epochs = 2000
+
+  /** Duration class index assumed for relation endpoints with no
+    * hasDuration triple (typeless injected events, blank lexicon rows):
+    * class 4 = "days", the lexicon's central class. */
+  val DefaultClass = 4
+
+  /** One relation observation: events a/b, TempRel label, duration
+    * class index of each side. */
+  final case class Obs(a: String, b: String, label: String, ca: Int, cb: Int)
+
+  /** Fine-grained (b1, e1, b2, e2) target per TempRel label — the
+    * deterministic stand-in for run_model.py's fine_yhat predictions. */
+  def targets(label: String): (Double, Double, Double, Double) = label match {
+    case "BEFORE"       => (0.0, 0.4, 0.6, 1.0)
+    case "AFTER"        => (0.6, 1.0, 0.0, 0.4)
+    case "INCLUDES"     => (0.0, 1.0, 0.3, 0.7)
+    case "IS_INCLUDED"  => (0.3, 0.7, 0.0, 1.0)
+    case _              => (0.0, 1.0, 0.0, 1.0) // SIMULTANEOUS
+  }
+
+  /** FNV-ish string fold used for the deterministic init seed. */
+  def hash64(s: String): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+    h
+  }
+
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic stand-in for torch.randn: uniform in
+    * ±[0.0005, 1.0005], never exactly zero (a zero duration parameter
+    * would put log(d) at −∞ on the first epoch). */
+  def initParam(docHash: Long, idx: Int, column: Int): Double = {
+    val z = mix(docHash ^ (idx.toLong * 0x9e3779b97f4a7c15L) ^
+      (column.toLong << 17))
+    (java.lang.Math.floorMod(z, 2000L) - 999.5) / 1000.0
+  }
+
+  /** log C(10, k) for k = 0..10 — the lgamma combination in
+    * _log_prob_vectorized reduces to exactly this for integer counts. */
+  private val LogChoose: Array[Double] = {
+    val c = Array(1L, 10L, 45L, 120L, 210L, 252L, 210L, 120L, 45L, 10L, 1L)
+    c.map(x => math.log(x.toDouble))
+  }
+
+  /** The per-document fit. Pure, deterministic, document-bounded: obs
+    * sorted by (a, b, label); predicates = sorted distinct endpoints
+    * (np.unique in utils.py:458 sorts too). Returns
+    * (eventId, start_pt, duration) anchored as in the reference
+    * (start = u²−min u², duration = v²; run_model.py:146-150 ans_df),
+    * rounded half-even to 4 decimals. */
+  def fitDoc(doc: String, obsIn: Seq[Obs],
+      epochs: Int = Epochs): Seq[(String, Double, Double)] = {
+    val obs = obsIn.sortBy(o => (o.a, o.b, o.label)).toArray
+    val n = obs.length
+    if (n == 0) return Seq.empty
+    val preds = obs.flatMap(o => Seq(o.a, o.b)).distinct.sorted
+    val pIdx = preds.zipWithIndex.toMap
+    val P = preds.length
+    val docH = hash64(doc)
+
+    val u = Array.tabulate(P)(j => initParam(docH, j, 0))
+    val v = Array.tabulate(P)(j => initParam(docH, j, 1))
+    var kk = initParam(docH, -1, 2)
+
+    val j1 = obs.map(o => pIdx(o.a))
+    val j2 = obs.map(o => pIdx(o.b))
+    val c1 = obs.map(_.ca)
+    val c2 = obs.map(_.cb)
+    val tg = obs.map(o => targets(o.label))
+
+    // Adam state: params ordered u(0..P-1), v(0..P-1), k
+    val adM = new Array[Double](2 * P + 1)
+    val adV = new Array[Double](2 * P + 1)
+    var t = 0
+    while (t < epochs) {
+      // ---- forward (per-pred) ----
+      val sq = Array.tabulate(P)(j => u(j) * u(j))
+      var m = sq(0); var jm = 0
+      var j = 1
+      while (j < P) { if (sq(j) < m) { m = sq(j); jm = j }; j += 1 }
+      val b = Array.tabulate(P)(j => sq(j) - m)
+      val d = Array.tabulate(P)(j => v(j) * v(j))
+      val lg = Array.tabulate(P)(j => math.log(d(j)))
+      val bl = Array.tabulate(P)(j => kk * lg(j)) // binomial logits
+      // E_softmax[k] over x_k = logC(k) + k·L (reduced form, see scaladoc)
+      val ek = Array.tabulate(P) { j =>
+        val x = new Array[Double](11)
+        var mx = Double.NegativeInfinity
+        var k = 0
+        while (k < 11) {
+          x(k) = LogChoose(k) + k * bl(j)
+          if (x(k) > mx) mx = x(k)
+          k += 1
+        }
+        var se = 0.0; var sk = 0.0
+        k = 0
+        while (k < 11) {
+          val e = math.exp(x(k) - mx); se += e; sk += k * e; k += 1
+        }
+        sk / se
+      }
+
+      // ---- backward ----
+      val gu = new Array[Double](P)
+      val gv = new Array[Double](P)
+      val gb = new Array[Double](P)
+      val gd = new Array[Double](P)
+      var gk = 0.0
+      // total = (L5_p1 + L5_p2)/4 + (l1+l2+l3+l4)/4 (timelinemodule.py
+      // :203-216: total=(dur+2·fine)/2, dur=(L5_p1+L5_p2)/2,
+      // fine=mean of 4 L1 terms) — every occurrence weighs 1/(4n)
+      val w = 1.0 / (4.0 * n)
+      var i = 0
+      while (i < n) {
+        // duration CE, both sides: d/dL = E[k] − c
+        var side = 0
+        while (side < 2) {
+          val j0 = if (side == 0) j1(i) else j2(i)
+          val c = if (side == 0) c1(i) else c2(i)
+          val diff = ek(j0) - c
+          gk += w * diff * lg(j0)
+          gv(j0) += w * diff * kk * 2.0 / v(j0)
+          side += 1
+        }
+        // fine L1 over normalized offsets
+        val t0 = b(j1(i)); val t1 = t0 + d(j1(i))
+        val t2 = b(j2(i)); val t3 = t2 + d(j2(i))
+        val tv = Array(t0, t1, t2, t3)
+        var qmin = 0; var qmax = 0
+        var q = 1
+        while (q < 4) {
+          if (tv(q) < tv(qmin)) qmin = q
+          if (tv(q) > tv(qmax)) qmax = q
+          q += 1
+        }
+        val r = tv(qmax) - tv(qmin)
+        val (tb1, te1, tb2, te2) = tg(i)
+        val gt = new Array[Double](4)
+        var term = 0
+        while (term < 4) {
+          val (ai, bi, tgt) = term match {
+            case 0 => (0, 2, tb1 - tb2) // l1: tn0−tn2 vs b1−b2
+            case 1 => (1, 2, te1 - tb2) // l2: tn1−tn2 vs e1−b2
+            case 2 => (3, 0, te2 - tb1) // l3: tn3−tn0 vs e2−b1
+            case _ => (1, 3, te1 - te2) // l4: tn1−tn3 vs e1−e2
+          }
+          val num = tv(ai) - tv(bi)
+          val g = w * math.signum(num / r - tgt)
+          gt(ai) += g / r
+          gt(bi) -= g / r
+          val gr = -g * num / (r * r)
+          gt(qmax) += gr
+          gt(qmin) -= gr
+          term += 1
+        }
+        gb(j1(i)) += gt(0) + gt(1); gd(j1(i)) += gt(1)
+        gb(j2(i)) += gt(2) + gt(3); gd(j2(i)) += gt(3)
+        i += 1
+      }
+      // chain b=u²−min, d=v² back to the raw params; the min routes the
+      // summed −∂m to the (first) argmin pred, as torch .min() does
+      var sgb = 0.0
+      j = 0
+      while (j < P) { sgb += gb(j); j += 1 }
+      j = 0
+      while (j < P) {
+        gu(j) += gb(j) * 2.0 * u(j)
+        gv(j) += gd(j) * 2.0 * v(j)
+        j += 1
+      }
+      gu(jm) -= sgb * 2.0 * u(jm)
+
+      // ---- Adam step (torch defaults) ----
+      t += 1
+      val bc1 = 1.0 - math.pow(0.9, t)
+      val bc2 = 1.0 - math.pow(0.999, t)
+      def step(pi: Int, g: Double, cur: Double): Double = {
+        adM(pi) = 0.9 * adM(pi) + 0.1 * g
+        adV(pi) = 0.999 * adV(pi) + 0.001 * g * g
+        cur - 0.001 * (adM(pi) / bc1) / (math.sqrt(adV(pi) / bc2) + 1e-8)
+      }
+      j = 0
+      while (j < P) { u(j) = step(j, gu(j), u(j)); j += 1 }
+      j = 0
+      while (j < P) { v(j) = step(P + j, gv(j), v(j)); j += 1 }
+      kk = step(2 * P, gk, kk)
+    }
+
+    val sqF = u.map(x => x * x)
+    val mF = sqF.min
+    preds.indices.map { j =>
+      (preds(j), math.rint((sqF(j) - mF) * 10000) / 10000,
+        math.rint(v(j) * v(j) * 10000) / 10000)
+    }
+  }
+
+  /** Distributed fit off the materialized triple table: relation triples
+    * give the pairs, hasDuration triples the class indices (left joins on
+    * the event id — plain equi-joins that co-partition with the groupBy
+    * key's prefix at scale). */
+  def fitFromTriples(spark: SparkSession, triples: DataFrame,
+      epochs: Int = Epochs): DataFrame = {
+    import spark.implicits._
+    val rel = triples
+      .filter(col("pred").isin("BEFORE", "AFTER", "SIMULTANEOUS",
+        "INCLUDES", "IS_INCLUDED"))
+      .select(col("subj").as("a"), col("obj").as("b"),
+        col("pred").as("label"))
+    val clsIdx = array_position(
+      typedLit(Ontology.DurationClasses), col("obj")).cast("int") - 1
+    val dur = triples.filter(col("pred") === "hasDuration")
+      .select(col("subj").as("ev"), clsIdx.as("cls"))
+    val withC = rel
+      .join(dur.toDF("a", "ca"), Seq("a"), "left")
+      .join(dur.toDF("b", "cb"), Seq("b"), "left")
+      .na.fill(DefaultClass, Seq("ca", "cb"))
+      .select(substring_index(col("a"), "#L", 1).as("doc"),
+        col("a"), col("b"), col("label"), col("ca"), col("cb"))
+    withC.as[(String, String, String, String, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (doc, it) =>
+        val obs = it.map { case (_, a, b, l, ca, cb) =>
+          Obs(a, b, l, ca, cb) }.toSeq
+        fitDoc(doc, obs, epochs).map { case (p, s0, d0) => (doc, p, s0, d0) }
+      }.toDF("doc", "event", "start_pt", "duration")
+  }
+}

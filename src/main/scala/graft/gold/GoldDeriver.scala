@@ -111,6 +111,153 @@ object GoldDeriver {
     out.toSet
   }
 
+  /** Independent mirror of the reference-loss timeline fit
+    * (eval/TimelineFit — timelinemodule.py:103-216 semantics): per doc,
+    * full-batch Adam on the binomial-CE + pairwise-L1 objective, fixed
+    * 2000-epoch budget, hash init. Derived from the GOLD triple set (not
+    * pipeline output), computed straight-line per document. The numeric
+    * spec (op order, init, tie-routing) is fixed by SURVEY §7.4 so both
+    * implementations produce bit-identical doubles; rounding to 4
+    * decimals happens on both sides.
+    *
+    * Returns (doc, eventId, start_pt, duration) sorted. */
+  def goldTimelines(nFiles: Long, sentsPerFile: Int): Seq[(String, String, Double, Double)] = {
+    val triples = goldTriples(nFiles, sentsPerFile)
+    val relLabels = Set("BEFORE", "AFTER", "SIMULTANEOUS", "INCLUDES", "IS_INCLUDED")
+    val durIdx: Map[String, Int] = triples.iterator
+      .filter(_.pred == "hasDuration")
+      .map(t => t.subj -> Ontology.DurationClasses.indexOf(t.obj)).toMap
+    val rels = triples.iterator.filter(t => relLabels(t.pred))
+      .map(t => (t.subj.substring(0, t.subj.indexOf("#L")),
+        t.subj, t.obj, t.pred)).toSeq
+    rels.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (doc, group) =>
+      val obs = group.map { case (_, a, b, label) =>
+        (a, b, label, durIdx.getOrElse(a, 4), durIdx.getOrElse(b, 4))
+      }
+      mirrorFit(doc, obs).map { case (ev, s0, d0) => (doc, ev, s0, d0) }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  /** The straight-line per-doc optimizer (mirror side). Same numeric spec
+    * as TimelineFit.fitDoc, written independently: obs sorted (a,b,label),
+    * predicates sorted-distinct, params u/v per predicate + scalar k, 2000
+    * Adam steps with torch defaults, outputs anchored (u²−min u², v²)
+    * rounded half-even to 4 decimals. */
+  private def mirrorFit(doc: String,
+      obsIn: Seq[(String, String, String, Int, Int)]): Seq[(String, Double, Double)] = {
+    val obs = obsIn.sortBy(o => (o._1, o._2, o._3))
+    val n = obs.length
+    if (n == 0) return Seq.empty
+    val preds = obs.flatMap(o => Seq(o._1, o._2)).distinct.sorted.toVector
+    val at = preds.zipWithIndex.toMap
+    val np = preds.length
+
+    def h64(s: String): Long =
+      s.foldLeft(1125899906842597L)((h, c) => 31 * h + c)
+    def smix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val dh = h64(doc)
+    def ini(idx: Int, column: Int): Double = {
+      val z = smix(dh ^ (idx.toLong * 0x9e3779b97f4a7c15L) ^
+        (column.toLong << 17))
+      (java.lang.Math.floorMod(z, 2000L) - 999.5) / 1000.0
+    }
+    val u = Array.tabulate(np)(ini(_, 0))
+    val v = Array.tabulate(np)(ini(_, 1))
+    var kpar = ini(-1, 2)
+    val logChoose = Array(1d, 10d, 45d, 120d, 210d, 252d, 210d, 120d, 45d,
+      10d, 1d).map(math.log)
+    val fineTarget: Map[String, (Double, Double, Double, Double)] = Map(
+      "BEFORE" -> ((0.0, 0.4, 0.6, 1.0)),
+      "AFTER" -> ((0.6, 1.0, 0.0, 0.4)),
+      "INCLUDES" -> ((0.0, 1.0, 0.3, 0.7)),
+      "IS_INCLUDED" -> ((0.3, 0.7, 0.0, 1.0)),
+      "SIMULTANEOUS" -> ((0.0, 1.0, 0.0, 1.0)))
+
+    val mAdam = new Array[Double](2 * np + 1)
+    val vAdam = new Array[Double](2 * np + 1)
+    for (epoch <- 1 to 2000) {
+      val sq = u.map(x => x * x)
+      var mn = sq(0); var argMn = 0
+      for (j <- 1 until np) if (sq(j) < mn) { mn = sq(j); argMn = j }
+      val beg = sq.map(_ - mn)
+      val dur = v.map(x => x * x)
+      val lgd = dur.map(math.log)
+      val logits = lgd.map(kpar * _)
+      val expected = Array.tabulate(np) { j =>
+        val x = Array.tabulate(11)(k => logChoose(k) + k * logits(j))
+        val mx = x.max
+        var se = 0.0; var sk = 0.0
+        for (k <- 0 until 11) {
+          val e = math.exp(x(k) - mx); se += e; sk += k * e
+        }
+        sk / se
+      }
+      val gu = new Array[Double](np)
+      val gv = new Array[Double](np)
+      val gBeg = new Array[Double](np)
+      val gDur = new Array[Double](np)
+      var gK = 0.0
+      val w = 1.0 / (4.0 * n)
+      for ((a, b, label, ca, cb) <- obs) {
+        val (ja, jb) = (at(a), at(b))
+        for ((j0, c) <- Seq((ja, ca), (jb, cb))) {
+          val diff = expected(j0) - c
+          gK += w * diff * lgd(j0)
+          gv(j0) += w * diff * kpar * 2.0 / v(j0)
+        }
+        val tv = Array(beg(ja), beg(ja) + dur(ja), beg(jb), beg(jb) + dur(jb))
+        var qmin = 0; var qmax = 0
+        for (q <- 1 until 4) {
+          if (tv(q) < tv(qmin)) qmin = q
+          if (tv(q) > tv(qmax)) qmax = q
+        }
+        val r = tv(qmax) - tv(qmin)
+        val (tb1, te1, tb2, te2) = fineTarget(label)
+        val gt = new Array[Double](4)
+        for (((ai, bi), tgt) <- Seq(((0, 2), tb1 - tb2), ((1, 2), te1 - tb2),
+            ((3, 0), te2 - tb1), ((1, 3), te1 - te2))) {
+          val num = tv(ai) - tv(bi)
+          val g = w * math.signum(num / r - tgt)
+          gt(ai) += g / r
+          gt(bi) -= g / r
+          val gr = -g * num / (r * r)
+          gt(qmax) += gr
+          gt(qmin) -= gr
+        }
+        gBeg(ja) += gt(0) + gt(1); gDur(ja) += gt(1)
+        gBeg(jb) += gt(2) + gt(3); gDur(jb) += gt(3)
+      }
+      var sumGBeg = 0.0
+      for (j <- 0 until np) sumGBeg += gBeg(j)
+      for (j <- 0 until np) {
+        gu(j) += gBeg(j) * 2.0 * u(j)
+        gv(j) += gDur(j) * 2.0 * v(j)
+      }
+      gu(argMn) -= sumGBeg * 2.0 * u(argMn)
+      val bc1 = 1.0 - math.pow(0.9, epoch)
+      val bc2 = 1.0 - math.pow(0.999, epoch)
+      def adam(pi: Int, g: Double, cur: Double): Double = {
+        mAdam(pi) = 0.9 * mAdam(pi) + 0.1 * g
+        vAdam(pi) = 0.999 * vAdam(pi) + 0.001 * g * g
+        cur - 0.001 * (mAdam(pi) / bc1) / (math.sqrt(vAdam(pi) / bc2) + 1e-8)
+      }
+      for (j <- 0 until np) u(j) = adam(j, gu(j), u(j))
+      for (j <- 0 until np) v(j) = adam(np + j, gv(j), v(j))
+      kpar = adam(2 * np, gK, kpar)
+    }
+    val sqF = u.map(x => x * x)
+    val mnF = sqF.min
+    preds.indices.map { j =>
+      (preds(j), math.rint((sqF(j) - mnF) * 10000) / 10000,
+        math.rint(v(j) * v(j) * 10000) / 10000)
+    }
+  }
+
   /** Export the gold triple SET as a sorted TSV under
     * `root/n<nFiles>_s<spf>/gold_triples.tsv` — the independently derived
     * expected set the driver's DuckDB oracle aggregates for the composed
@@ -146,6 +293,15 @@ object GoldDeriver {
       val sb = new StringBuilder("subj\tpred\tobj\trepo\tpath\tcontentsha\n")
       rows.foreach(r => sb.append(r).append('\n'))
       java.nio.file.Files.write(file, sb.toString.getBytes("UTF-8"))
+      // the timeline-fit mirror rides the same export gate: q47's oracle
+      // reads this beside the triple set (values pre-rounded to 4
+      // decimals on both sides; %.4f is exact on an rint-rounded value)
+      val tlSb = new StringBuilder("doc\tevent\tstart_pt\tduration\n")
+      goldTimelines(nFiles, sentsPerFile).foreach { case (doc, ev, s0, d0) =>
+        tlSb.append(f"$doc\t$ev\t$s0%.4f\t$d0%.4f\n")
+      }
+      java.nio.file.Files.write(dir.resolve("gold_timelines.tsv"),
+        tlSb.toString.getBytes("UTF-8"))
     }
     file
   }

@@ -64,6 +64,31 @@ class GoldenPipelineSpec extends AnyFunSuite {
     assert(t1 == t16)
   }
 
+  test("reference-loss timeline fit: distributed engine == independent mirror") {
+    // identical input (the gold triple set) through both implementations:
+    // TimelineFit.fitFromTriples (one-shuffle mapGroups) vs
+    // GoldDeriver.goldTimelines (straight-line per-doc mirror). Doubles
+    // must agree bit-for-bit after the shared 4-decimal rounding — any
+    // op-order divergence between the two optimizers, or partition
+    // nondeterminism in the distributed one, fails here before the
+    // driver's q47 hash would
+    val goldDf = goldTriples.toSeq.toDF(
+      "subj", "pred", "obj", "repo", "path", "contentSha")
+    val engine = graft.eval.TimelineFit.fitFromTriples(spark, goldDf)
+      .as[(String, String, Double, Double)].collect().toSet
+    val mirror = GoldDeriver.goldTimelines(NFiles, Spf).toSet
+    assert(engine.nonEmpty, "fit produced no timelines")
+    val onlyEngine = engine -- mirror
+    val onlyMirror = mirror -- engine
+    assert(onlyEngine.isEmpty && onlyMirror.isEmpty,
+      s"engine-only: ${onlyEngine.take(3)}; mirror-only: ${onlyMirror.take(3)}")
+    // anchoring invariants (run_model.py:146-150): start >= 0, dur >= 0,
+    // every doc has at least one anchored-at-zero predicate
+    assert(engine.forall(r => r._3 >= 0.0 && r._4 >= 0.0))
+    val anchored = engine.groupBy(_._1).forall(_._2.exists(_._3 == 0.0))
+    assert(anchored, "some doc lost its zero-anchored predicate")
+  }
+
   test("branch-level dedup in fromFilesDistinctCommitted equals the global triple SET") {
     // the distinct snapshot dedups only the two branches that can repeat
     // (arg + entity triples); this pins that shortcut to exact global
