@@ -120,25 +120,40 @@ object TimelineFit {
     val j2 = obs.map(o => pIdx(o.b))
     val c1 = obs.map(_.ca)
     val c2 = obs.map(_.cb)
-    val tg = obs.map(o => targets(o.label))
+    val tgB1 = obs.map(o => targets(o.label)._1)
+    val tgE1 = obs.map(o => targets(o.label)._2)
+    val tgB2 = obs.map(o => targets(o.label)._3)
+    val tgE2 = obs.map(o => targets(o.label)._4)
 
     // Adam state: params ordered u(0..P-1), v(0..P-1), k
     val adM = new Array[Double](2 * P + 1)
     val adV = new Array[Double](2 * P + 1)
+    // all per-epoch scratch hoisted OUT of the loop (allocation-free hot
+    // path — ~10 small arrays per epoch otherwise dominate the fit via
+    // GC churn at corpus scale). The ARITHMETIC and its order are
+    // unchanged, so the independent mirror stays bit-identical.
+    val sq = new Array[Double](P); val b = new Array[Double](P)
+    val d = new Array[Double](P); val lg = new Array[Double](P)
+    val bl = new Array[Double](P); val ek = new Array[Double](P)
+    val gu = new Array[Double](P); val gv = new Array[Double](P)
+    val gb = new Array[Double](P); val gd = new Array[Double](P)
+    val x = new Array[Double](11)
+    val tv = new Array[Double](4); val gt = new Array[Double](4)
     var t = 0
     while (t < epochs) {
       // ---- forward (per-pred) ----
-      val sq = Array.tabulate(P)(j => u(j) * u(j))
+      var j = 0
+      while (j < P) { sq(j) = u(j) * u(j); j += 1 }
       var m = sq(0); var jm = 0
-      var j = 1
+      j = 1
       while (j < P) { if (sq(j) < m) { m = sq(j); jm = j }; j += 1 }
-      val b = Array.tabulate(P)(j => sq(j) - m)
-      val d = Array.tabulate(P)(j => v(j) * v(j))
-      val lg = Array.tabulate(P)(j => math.log(d(j)))
-      val bl = Array.tabulate(P)(j => kk * lg(j)) // binomial logits
-      // E_softmax[k] over x_k = logC(k) + k·L (reduced form, see scaladoc)
-      val ek = Array.tabulate(P) { j =>
-        val x = new Array[Double](11)
+      j = 0
+      while (j < P) {
+        b(j) = sq(j) - m
+        d(j) = v(j) * v(j)
+        lg(j) = math.log(d(j))
+        bl(j) = kk * lg(j) // binomial logits
+        // E_softmax[k] over x_k = logC(k) + k·L (reduced form, scaladoc)
         var mx = Double.NegativeInfinity
         var k = 0
         while (k < 11) {
@@ -151,14 +166,15 @@ object TimelineFit {
         while (k < 11) {
           val e = math.exp(x(k) - mx); se += e; sk += k * e; k += 1
         }
-        sk / se
+        ek(j) = sk / se
+        j += 1
       }
 
       // ---- backward ----
-      val gu = new Array[Double](P)
-      val gv = new Array[Double](P)
-      val gb = new Array[Double](P)
-      val gd = new Array[Double](P)
+      java.util.Arrays.fill(gu, 0.0)
+      java.util.Arrays.fill(gv, 0.0)
+      java.util.Arrays.fill(gb, 0.0)
+      java.util.Arrays.fill(gd, 0.0)
       var gk = 0.0
       // total = (L5_p1 + L5_p2)/4 + (l1+l2+l3+l4)/4 (timelinemodule.py
       // :203-216: total=(dur+2·fine)/2, dur=(L5_p1+L5_p2)/2,
@@ -177,9 +193,8 @@ object TimelineFit {
           side += 1
         }
         // fine L1 over normalized offsets
-        val t0 = b(j1(i)); val t1 = t0 + d(j1(i))
-        val t2 = b(j2(i)); val t3 = t2 + d(j2(i))
-        val tv = Array(t0, t1, t2, t3)
+        tv(0) = b(j1(i)); tv(1) = tv(0) + d(j1(i))
+        tv(2) = b(j2(i)); tv(3) = tv(2) + d(j2(i))
         var qmin = 0; var qmax = 0
         var q = 1
         while (q < 4) {
@@ -188,15 +203,17 @@ object TimelineFit {
           q += 1
         }
         val r = tv(qmax) - tv(qmin)
-        val (tb1, te1, tb2, te2) = tg(i)
-        val gt = new Array[Double](4)
+        val tb1 = tgB1(i); val te1 = tgE1(i)
+        val tb2 = tgB2(i); val te2 = tgE2(i)
+        gt(0) = 0.0; gt(1) = 0.0; gt(2) = 0.0; gt(3) = 0.0
         var term = 0
         while (term < 4) {
-          val (ai, bi, tgt) = term match {
-            case 0 => (0, 2, tb1 - tb2) // l1: tn0−tn2 vs b1−b2
-            case 1 => (1, 2, te1 - tb2) // l2: tn1−tn2 vs e1−b2
-            case 2 => (3, 0, te2 - tb1) // l3: tn3−tn0 vs e2−b1
-            case _ => (1, 3, te1 - te2) // l4: tn1−tn3 vs e1−e2
+          var ai = 0; var bi = 0; var tgt = 0.0
+          term match {
+            case 0 => ai = 0; bi = 2; tgt = tb1 - tb2 // l1: tn0−tn2 vs b1−b2
+            case 1 => ai = 1; bi = 2; tgt = te1 - tb2 // l2: tn1−tn2 vs e1−b2
+            case 2 => ai = 3; bi = 0; tgt = te2 - tb1 // l3: tn3−tn0 vs e2−b1
+            case _ => ai = 1; bi = 3; tgt = te1 - te2 // l4: tn1−tn3 vs e1−e2
           }
           val num = tv(ai) - tv(bi)
           val g = w * math.signum(num / r - tgt)
@@ -251,7 +268,16 @@ object TimelineFit {
   /** Distributed fit off the materialized triple table: relation triples
     * give the pairs, hasDuration triples the class indices (left joins on
     * the event id — plain equi-joins that co-partition with the groupBy
-    * key's prefix at scale). */
+    * key's prefix at scale).
+    *
+    * The per-doc grouping is an EXPLICIT-WIDTH repartition on doc +
+    * sortWithinPartitions + a run-detecting mapPartitions, not
+    * groupByKey: this stage is COMPUTE-bound (2000 Adam epochs per doc)
+    * with tiny shuffle bytes, and AQE's byte-based partition coalescing
+    * collapses a small ENSURE_REQUIREMENTS shuffle to one task (measured
+    * 11.8 s single-task vs ~1 s wide at 5,500 docs). A user-specified
+    * partition count is exempt from AQE coalescing, and the
+    * within-partition sort adds no exchange. */
   def fitFromTriples(spark: SparkSession, triples: DataFrame,
       epochs: Int = Epochs): DataFrame = {
     import spark.implicits._
@@ -270,12 +296,32 @@ object TimelineFit {
       .na.fill(DefaultClass, Seq("ca", "cb"))
       .select(substring_index(col("a"), "#L", 1).as("doc"),
         col("a"), col("b"), col("label"), col("ca"), col("cb"))
-    withC.as[(String, String, String, String, Int, Int)]
-      .groupByKey(_._1)
-      .flatMapGroups { (doc, it) =>
-        val obs = it.map { case (_, a, b, l, ca, cb) =>
-          Obs(a, b, l, ca, cb) }.toSeq
-        fitDoc(doc, obs, epochs).map { case (p, s0, d0) => (doc, p, s0, d0) }
+    val width = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    withC
+      .repartition(width, col("doc"))
+      .sortWithinPartitions("doc", "a", "b", "label")
+      .as[(String, String, String, String, Int, Int)]
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Obs]
+        var cur: String = null
+        def flush(): Iterator[(String, String, Double, Double)] =
+          if (cur == null) Iterator.empty
+          else {
+            val done = cur
+            val res = fitDoc(done, buf.toVector, epochs)
+              .map { case (p, s0, d0) => (done, p, s0, d0) }
+            buf.clear()
+            res.iterator
+          }
+        it.flatMap { case (doc, a, b, l, ca, cb) =>
+          if (doc == cur) { buf += Obs(a, b, l, ca, cb); Iterator.empty }
+          else {
+            val emitted = flush()
+            cur = doc
+            buf += Obs(a, b, l, ca, cb)
+            emitted
+          }
+        } ++ flush() // lazy concat: runs after the partition is exhausted
       }.toDF("doc", "event", "start_pt", "duration")
   }
 }
