@@ -360,11 +360,32 @@ object SparkEntry {
         Multimodal.MediaRow(id, "video", payload,
           Multimodal.MediaMeta(128, 96, 3, 0, 1000))
       }
+      // REAL Y4M videos through the VideoCodec decode path (luma
+      // histogram); ids 21/22 above stay non-Y4M so the declared
+      // compressed-video stub fallback keeps an oracled row too
+      val y4ms = Seq((23L, 16, 8, 5), (24L, 32, 16, 3))
+      val y4mRows = y4ms.map { case (id, w, h, nf) =>
+        val cw = (w + 1) / 2; val ch = (h + 1) / 2
+        val frames = (0 until nf).map { f =>
+          val luma = Array.tabulate(w * h)(i =>
+            ((i.toLong * 7 + f * 13 + id) % 256).toByte)
+          val u = Array.tabulate(cw * ch)(i =>
+            ((i.toLong * 3 + f + id) % 256).toByte)
+          val v = Array.tabulate(cw * ch)(i =>
+            ((i.toLong * 5 + f + 2 * id) % 256).toByte)
+          luma ++ u ++ v
+        }
+        Multimodal.MediaRow(id, "video",
+          graft.ops.VideoCodec.encodeY4m(w, h, "420jpeg", frames),
+          Multimodal.MediaMeta(w, h, 3, 0, nf * 40))
+      }
       val totals = (images.map { case (id, w, h) => (id, (w * h).toLong) } ++
         audios.map { case (id, n) => (id, n.toLong) } ++
-        videos.map { case (id, n) => (id, n.toLong) })
+        videos.map { case (id, n) => (id, n.toLong) } ++
+        y4ms.map { case (id, w, h, nf) => (id, (w * h * nf).toLong) })
         .toDF("media_id", "total")
-      val media = s.createDataset(imageRows ++ audioRows ++ videoRows)
+      val media =
+        s.createDataset(imageRows ++ audioRows ++ videoRows ++ y4mRows)
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("kind"),
           posexplode(col("features")).as(Seq("bin", "v")))
@@ -1797,6 +1818,7 @@ object SparkEntry {
       """WITH img(media_id, w, h) AS (VALUES (1, 8, 8), (2, 12, 5), (3, 16, 16), (4, 7, 9), (5, 10, 3), (6, 16, 2)),
         |aud(media_id, n) AS (VALUES (11, 200), (12, 333), (13, 512)),
         |vid(media_id, n) AS (VALUES (21, 300), (22, 517)),
+        |y4m(media_id, w, h, nf) AS (VALUES (23, 16, 8, 5), (24, 32, 16, 3)),
         |pix AS (SELECT media_id, w, unnest(range(w * h)) AS i FROM img),
         |pxy AS (SELECT media_id, i % w AS x, i // w AS y FROM pix),
         |prgb AS (SELECT media_id,
@@ -1806,6 +1828,8 @@ object SparkEntry {
         |         FROM pxy),
         |samp AS (SELECT media_id, unnest(range(n)) AS t FROM aud),
         |vbyte AS (SELECT media_id, unnest(range(n)) AS j FROM vid),
+        |yf AS (SELECT media_id, w, h, unnest(range(nf)) AS f FROM y4m),
+        |ybyte AS (SELECT media_id, f, unnest(range(w * h)) AS i FROM yf),
         |elems AS (
         |  SELECT media_id, ((r * 299 + g * 587 + b * 114) // 1000) // 16 AS bin FROM prgb
         |  UNION ALL
@@ -1813,12 +1837,15 @@ object SparkEntry {
         |         least(15, abs(((t * t * 7919 + t * 131 + media_id * 17) % 65536) - 32768) // 2048) AS bin
         |  FROM samp
         |  UNION ALL
-        |  SELECT media_id, ((j * j * 31 + j * 7 + media_id) % 256) // 16 AS bin FROM vbyte),
+        |  SELECT media_id, ((j * j * 31 + j * 7 + media_id) % 256) // 16 AS bin FROM vbyte
+        |  UNION ALL
+        |  SELECT media_id, ((i * 7 + f * 13 + media_id) % 256) // 16 AS bin FROM ybyte),
         |cnts AS (SELECT media_id, bin, count(*) AS cnt FROM elems GROUP BY media_id, bin),
         |bins AS (SELECT unnest(range(16)) AS bin),
         |allm AS (SELECT media_id, 'image' AS kind FROM img
         |         UNION ALL SELECT media_id, 'audio' FROM aud
-        |         UNION ALL SELECT media_id, 'video' FROM vid)
+        |         UNION ALL SELECT media_id, 'video' FROM vid
+        |         UNION ALL SELECT media_id, 'video' FROM y4m)
         |SELECT a.media_id, a.kind, b.bin, COALESCE(c.cnt, 0) AS cnt
         |FROM allm a CROSS JOIN bins b
         |LEFT JOIN cnts c ON c.media_id = a.media_id AND c.bin = b.bin

@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * features extracted from a luminance histogram and resize operating on
   * decoded pixels. The AUDIO path is real too: payloads are actual
   * RIFF/WAVE PCM-16 files decoded to samples by AudioCodec, features from
-  * an amplitude histogram. VIDEO decode remains STUBBED with a
-  * deterministic fake — compressed video codecs genuinely need native
-  * libraries this container lacks — but everything Spark-side is real and
-  * tested: the schema, the binary column plumbing, the batch shape, the
-  * partitioning, and the feature-column contract downstream consumers
-  * rely on.
+  * an amplitude histogram. The VIDEO path is real for UNCOMPRESSED
+  * payloads: YUV4MPEG2 (Y4M) streams decode fully via VideoCodec
+  * (luma-plane histograms, real frame sampling). COMPRESSED video
+  * (H.264 & co.) remains the one declared stub — those codecs genuinely
+  * need native libraries this container lacks — and falls through to a
+  * deterministic fake, with everything Spark-side (schema, binary
+  * column plumbing, batch shape, partitioning, feature-column contract)
+  * real and tested either way.
   */
 object Multimodal {
 
@@ -85,12 +87,13 @@ object Multimodal {
     }
   }
 
-  /** ===== STUB (video only) ===== Deterministic fake "decode + feature
-    * extraction": a 16-bin byte histogram, L1-normalized. A real
-    * deployment swaps ONLY this body for a codec call (JNI/arrow batch);
-    * the operator contract (batched iterator in, feature rows out) is the
-    * real, load-bearing part. Image and audio rows never reach this —
-    * they decode for real via ImageCodec / AudioCodec — except as the
+  /** ===== STUB (compressed video only) ===== Deterministic fake
+    * "decode + feature extraction": a 16-bin byte histogram,
+    * L1-normalized. A real deployment swaps ONLY this body for a codec
+    * call (JNI/arrow batch); the operator contract (batched iterator in,
+    * feature rows out) is the real, load-bearing part. Image, audio and
+    * Y4M video rows never reach this — they decode for real via
+    * ImageCodec / AudioCodec / VideoCodec — except as the
     * malformed-payload fallback. */
   def fakeDecodeFeatures(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Int](16)
@@ -117,6 +120,13 @@ object Multimodal {
       case "audio" =>
         AudioCodec.decodeWav(payload).map { case (_, _, samples) =>
           AudioCodec.amplitudeHistogram(samples)
+        }
+      case "video" =>
+        // REAL for uncompressed Y4M (luma-plane histogram — Y is the
+        // BT.601 luminance the image path derives from RGB); compressed
+        // payloads fall through to the declared stub below
+        VideoCodec.decodeY4m(payload).map { case (_, _, lumaPlanes) =>
+          VideoCodec.lumaHistogram(lumaPlanes)
         }
       case _ => None
     }).toOption.flatten
@@ -169,17 +179,26 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: every `stride`-th fixed-size block of
-    * the payload becomes one frame row (flatMap expansion — the UDTF
-    * shape). */
+  /** Frame sampling for video rows (flatMap expansion — the UDTF shape):
+    * REAL for Y4M payloads — every `stride`-th DECODED luma frame becomes
+    * one frame row; undecodable (compressed) payloads keep the
+    * fixed-size-block fallback so the downstream schema contract holds
+    * either way. */
   def sampleFrames(media: Dataset[MediaRow], stride: Int,
       frameBytes: Int = 64): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      m.payload.grouped(frameBytes).zipWithIndex
-        .filter { case (_, idx) => idx % stride == 0 }
-        .map { case (block, idx) => Frame(m.media_id, idx, block) }
+      scala.util.Try(VideoCodec.decodeY4m(m.payload)).toOption.flatten match {
+        case Some((_, _, lumaPlanes)) =>
+          lumaPlanes.iterator.zipWithIndex
+            .filter { case (_, idx) => idx % stride == 0 }
+            .map { case (plane, idx) => Frame(m.media_id, idx, plane) }
+        case None =>
+          m.payload.grouped(frameBytes).zipWithIndex
+            .filter { case (_, idx) => idx % stride == 0 }
+            .map { case (block, idx) => Frame(m.media_id, idx, block) }
+      }
     }
   }
 }

@@ -492,6 +492,50 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("VideoCodec: Y4M round-trip, colorspace plane math, hostile headers") {
+    import graft.ops.VideoCodec
+    val (w, h) = (6, 4)
+    val cw = 3; val ch = 2
+    val frames = (0 until 3).map { f =>
+      Array.tabulate(w * h)(i => (i * 7 + f).toByte) ++
+        Array.tabulate(cw * ch)(i => (i + f).toByte) ++
+        Array.tabulate(cw * ch)(i => (i * 2 + f).toByte)
+    }
+    val enc = VideoCodec.encodeY4m(w, h, "420jpeg", frames)
+    val Some((gw, gh, luma)) = VideoCodec.decodeY4m(enc)
+    assert(gw == w && gh == h && luma.length == 3)
+    for (f <- 0 until 3)
+      assert(luma(f).sameElements(frames(f).take(w * h)))
+    // C444: full chroma planes
+    val f444 = Seq(Array.tabulate(w * h * 3)(i => i.toByte))
+    val Some((_, _, l444)) = VideoCodec.decodeY4m(
+      VideoCodec.encodeY4m(w, h, "444", f444))
+    assert(l444.head.sameElements(f444.head.take(w * h)))
+    // default colorspace (no C token) is 420jpeg
+    val noC = new String(enc, "US-ASCII").replace(" C420jpeg", "")
+    assert(VideoCodec.decodeY4m(noC.getBytes("US-ASCII")).isDefined)
+    // histogram = luma bytes only, L1-normalized
+    val hist = VideoCodec.lumaHistogram(luma)
+    assert(math.abs(hist.sum - 1.0f) < 1e-5)
+    // hostile: bad magic / unsupported colorspace / huge dims / truncated
+    // frame / garbage after header / overflow-sized W token
+    assert(VideoCodec.decodeY4m("YUV4MPEG3 W2 H2\nFRAME\nxxxx".getBytes).isEmpty)
+    assert(VideoCodec.decodeY4m("YUV4MPEG2 W2 H2 Cmjpeg\nFRAME\nxxxx".getBytes).isEmpty)
+    assert(VideoCodec.decodeY4m("YUV4MPEG2 W1048577 H1048577\nFRAME\n".getBytes).isEmpty)
+    assert(VideoCodec.decodeY4m("YUV4MPEG2 W99999999999999999999 H2\nFRAME\n".getBytes).isEmpty)
+    assert(VideoCodec.decodeY4m(enc.dropRight(1)).isEmpty, "truncated last frame")
+    assert(VideoCodec.decodeY4m(("YUV4MPEG2 W2 H2 C444\nNOTFRAME\n" + "x" * 12).getBytes).isEmpty)
+    assert(Multimodal.decodeFeatures("video", enc).length == 16)
+    // frame sampling uses DECODED luma frames for Y4M payloads
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", enc, Multimodal.MediaMeta(w, h, 3, 0, 120))))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val got = Multimodal.sampleFrames(media, stride = 2).collect()
+      .sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(got.forall(_.payload.length == w * h))
+  }
+
   test("codec fuzz: hostile headers (Int-wrap dims, negative offsets, " +
       "truncated chunks) never throw — decodeFeatures always falls back") {
     import graft.ops.AudioCodec
