@@ -204,6 +204,21 @@ class OperatorSpec extends AnyFunSuite {
         s"blockKey($t)")
   }
 
+  test("K3: tagging's length sort is WITHIN partitions — a local Sort, no added Exchange") {
+    // the batching projection (joint_model.py:62 pad_collate analog) must
+    // group similar-length sentences without a shuffle: the executed plan
+    // carries a non-global Sort and exactly the exchanges of its INPUT
+    // (none for a narrow synth scan) — a global orderBy here would add a
+    // rangepartitioning Exchange and turn a narrow stage into a shuffle
+    val sents = graft.kg.Pipeline.sentences(
+      spark, graft.corpus.Synth.corpus(spark, 8L, 4))
+    val plan = graft.kg.Pipeline.tagStage(spark, sents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Sort"), "length sort missing from plan")
+    assert(!plan.contains("Exchange"),
+      s"K3 sort must not shuffle; plan:\n${plan.take(800)}")
+  }
+
   test("driver contract: every oracle key has a query; surface counts pinned") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
