@@ -514,6 +514,34 @@ object SparkEntry {
         .toDF("src", "rec_idx", "start_tok", "end_tok", "label")
         .orderBy("src", "rec_idx", "start_tok")
     }),
+    "q48_checkpoint_ner" -> ((s, dir) => {
+      // S8 (model-checkpoint load → broadcast) driver-checked, the
+      // torch.save/torch.load analog (run_model.py:109): the model
+      // side-tables round-trip through an on-disk versioned checkpoint,
+      // the LOADED tables broadcast to executors, and the NER decode
+      // runs off the BROADCAST model — same output contract and same
+      // oracle as q38's compiled-in path, so a serialization bug, a
+      // lossy load, or a broadcast of the wrong table hash-fails.
+      import s.implicits._
+      import graft.tag.{Checkpoint, Taggers}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_q48").toString
+      val file = Checkpoint.write(Checkpoint.fromOntology, tmp)
+      val bc = s.sparkContext.broadcast(Checkpoint.load(file))
+      goldenAnn(s)
+        .select(col("src"), col("rec_idx").cast("long"), col("tokens"))
+        .flatMap { r =>
+          val model = bc.value
+          val src = r.getString(0)
+          val rec = r.getLong(1)
+          val tokens: Seq[String] =
+            Option(r.getSeq[String](2)).getOrElse(Seq.empty)
+          Taggers.nerSpansWith(tokens, model.gazetteer, model.maxGazLen)
+            .map(sp => (src, rec, sp.start, sp.end, sp.label))
+        }
+        .toDF("src", "rec_idx", "start_tok", "end_tok", "label")
+        .orderBy("src", "rec_idx", "start_tok")
+    }),
     "q43_ner_eval" -> ((s, dir) => {
       // J7/A5 driver-checked on reference data: strict span(+label)
       // P/R/F1 (eval.py:207-221 tuples) of the gazetteer NER stage's
@@ -1344,6 +1372,14 @@ object SparkEntry {
     // q38: the greedy longest-match gazetteer scan (skip semantics
     // included) simulated as a recursive-CTE cursor walk.
     "q38_gazetteer_ner" -> (gazWalkCtes + "\n" +
+      """SELECT src, rec_idx, CAST(mstart - 1 AS INTEGER) AS start_tok,
+        |       CAST(mend - 1 AS INTEGER) AS end_tok, mtyp AS label
+        |FROM walk WHERE mstart IS NOT NULL
+        |ORDER BY src, rec_idx, start_tok""".stripMargin),
+
+    // q48 must equal q38 (the checkpoint-loaded broadcast model vs the
+    // compiled-in bootstrap) — the oracle IS q38's gazetteer walk
+    "q48_checkpoint_ner" -> (gazWalkCtes + "\n" +
       """SELECT src, rec_idx, CAST(mstart - 1 AS INTEGER) AS start_tok,
         |       CAST(mend - 1 AS INTEGER) AS end_tok, mtyp AS label
         |FROM walk WHERE mstart IS NOT NULL

@@ -52,17 +52,25 @@ object Taggers {
   /** Gazetteer longest-match emissions → Viterbi → BIO tags → spans.
     * Mirrors the reference NER CRF decode path
     * (EventPipeline.py:323-330 + JsonBuilder.iob_to_obj). */
-  def nerSpans(tokens: Seq[String]): Seq[NerSpan] = {
+  def nerSpans(tokens: Seq[String]): Seq[NerSpan] =
+    nerSpansWith(tokens, Ontology.Gazetteer, maxGazLen)
+
+  /** Same decode with an EXTERNALLY SUPPLIED gazetteer — the S8 surface:
+    * the caller loads a model checkpoint (tag.Checkpoint) and broadcasts
+    * the tables; this closure reads the broadcast instead of the
+    * compiled-in bootstrap. */
+  def nerSpansWith(tokens: Seq[String], gazetteer: Map[Seq[String], String],
+      maxLen: Int): Seq[NerSpan] = {
     val n = tokens.length
     if (n == 0) return Seq.empty
     val em = Array.fill(n, NerLabels.length)(0.0)
     var i = 0
     while (i < n) {
       // longest gazetteer match starting at i
-      var len = math.min(maxGazLen, n - i)
+      var len = math.min(maxLen, n - i)
       var matched = false
       while (len >= 1 && !matched) {
-        Ontology.Gazetteer.get(tokens.slice(i, i + len).toList) match {
+        gazetteer.get(tokens.slice(i, i + len).toList) match {
           case Some(tpe) =>
             matched = true
             em(i)(nerLabelIdx(s"B-$tpe")) = 10.0

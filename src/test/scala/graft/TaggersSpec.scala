@@ -103,6 +103,41 @@ class TaggersSpec extends AnyFunSuite {
     assert(Taggers.durationOf("hospital") == "")
   }
 
+  test("S8 checkpoint: write/load round-trips the model tables exactly; corrupted checkpoints fail loudly") {
+    import graft.tag.Checkpoint
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt_spec")
+    val model = Checkpoint.fromOntology
+    val file = Checkpoint.write(model, tmp.toString)
+    val loaded = Checkpoint.load(file)
+    assert(loaded.gazetteer == model.gazetteer)
+    assert(loaded.triggerLexicon == model.triggerLexicon)
+    assert(loaded.negationCues == model.negationCues)
+    assert(loaded.maxGazLen == model.maxGazLen)
+    // deterministic serialization: equal models, byte-identical files
+    val again = Checkpoint.write(model, tmp.resolve("b").toString)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(file),
+      java.nio.file.Files.readAllBytes(again)))
+    // the loaded model drives the same decode as the compiled-in one
+    assert(Taggers.nerSpansWith(sent, loaded.gazetteer, loaded.maxGazLen)
+      == Taggers.nerSpans(sent))
+    // strict load: bad header / unknown record kind / truncated row throw
+    def corrupt(content: String): java.nio.file.Path = {
+      val f = tmp.resolve(s"c${content.hashCode}.tsv")
+      java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+      f
+    }
+    intercept[IllegalArgumentException] {
+      Checkpoint.load(corrupt("graftlex\t2\ngaz\tx\tORG\n"))
+    }
+    intercept[IllegalArgumentException] {
+      Checkpoint.load(corrupt("graftlex\t1\nweights\t0.5\n"))
+    }
+    intercept[IllegalArgumentException] {
+      Checkpoint.load(corrupt("graftlex\t1\ngaz\tonlyonefield\n"))
+    }
+  }
+
   test("event assembly drops nothing and blanks duration (P5 + main.py:173-175)") {
     val ner = Taggers.nerSpans(sent)
     val trig = Taggers.triggerSpans(sent, ner)
