@@ -1044,7 +1044,77 @@ object SparkEntry {
       Sampling.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 100), defaultPermille = 500, salt = 12345L)
         .select(col("doc_id"), col("lang"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "q49_wordpiece_pool" -> ((s, dir) => {
+      // P2 (wordpiece re-tok + align map) + A2 (subword→word pooling)
+      // made REAL and driver-checkable. Mirrors the reference exactly:
+      // greedy WordPiece per original token (`tokenizer.tokenize(
+      // orig_token)`, contextualized_features_bert.py:25-27, uncased),
+      // the [CLS]-offset orig_to_tok_map (bert_token, its lines 9-34),
+      // and get_repre_from_align's three pooling modes over each word's
+      // own pieces (neural_model.py:322-342; 'head' = trigger/arg models
+      // EventPipeline.py:359, 'max' = NER EventPipeline.py:324,
+      // 'average' = the pooling= default). The oracle re-derives the
+      // tokenization (q36 CTEs), the greedy segmentation (step-array +
+      // recursive chain over the same vocab literals), the alignment
+      // window-sum, and the pooled values in SQL.
+      import s.implicits._
+      import graft.text.Text
+      t(s, dir, "documents").select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val tokens = Text.tokenize(text)
+          val (_, map) = Text.wordpieceAlign(tokens)
+          tokens.indices.map { i =>
+            val wp = Text.wordpiece(tokens(i))
+            val (h, a, m) = Text.poolWord(wp)
+            (id, i, tokens(i), wp.mkString(" "), wp.length, map(i), h, a, m)
+          }
+        }
+        .toDF("doc_id", "tok_idx", "token", "pieces", "n_pieces",
+          "bert_idx", "pool_head", "pool_avg", "pool_max")
+        .orderBy("doc_id", "tok_idx")
+    }),
+    "q50_trigger_query" -> ((s, dir) => {
+      // A3 (trigger-query max-pool) made REAL and driver-checkable:
+      // get_query(att_pool='max') (neural_model.py:299-320) — select the
+      // word-level representations at the event's trigger token indices
+      // and max-pool them into the attention query, with the zeros
+      // fallback when no anchors appear (its lines 307-311). Word
+      // representations are the HEAD-piece values, matching
+      // bert_encode_mthd='head' on the trigger/argument path
+      // (EventPipeline.py:359). Run per golden event over all five
+      // reference corpora; the oracle re-derives trigger spans from the
+      // JSON and the wordpiece head values in SQL.
+      import s.implicits._
+      import graft.text.Text
+      import org.apache.spark.sql.Row
+      goldenAnn(s)
+        .select(col("src"), col("rec_idx").cast("long"), col("tokens"),
+          col("events"))
+        .flatMap { r =>
+          val src = r.getString(0)
+          val rec = r.getLong(1)
+          val tokens: Seq[String] =
+            Option(r.getSeq[String](2)).getOrElse(Seq.empty)
+          val events = Option(r.getAs[scala.collection.Seq[Row]](3))
+            .getOrElse(scala.collection.Seq.empty)
+          val reps = tokens.map(t => Text.pieceVal(Text.wordpiece(t).head))
+          events.toSeq.zipWithIndex.map { case (ev, evIdx) =>
+            val triggers =
+              Option(ev.getAs[scala.collection.Seq[Row]]("triggers"))
+                .getOrElse(scala.collection.Seq.empty)
+            val triIdxs = triggers.toSeq.flatMap { tr =>
+              (tr.getAs[Int]("start_token") to tr.getAs[Int]("end_token"))
+                .filter(i => i >= 0 && i < tokens.length)
+            }.distinct
+            val qval = if (triIdxs.isEmpty) 0L else triIdxs.map(reps).max
+            (src, rec, evIdx, triIdxs.length, qval)
+          }
+        }
+        .toDF("src", "rec_idx", "event_idx", "n_tri", "query_max")
+        .orderBy("src", "rec_idx", "event_idx")
+    })
   )
 
   /** Shared oracle CTE: the gold triple export for the scale factor under
@@ -1061,6 +1131,149 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (KG pipeline, LSH/minhash/simhash signatures, custom expression,
     * synthetic media) → driver records a weaker rows-only check. */
+  /** q36's tokenizer CTE chain (Text.tokenize re-derived in DuckDB),
+    * factored so the chain — ending at `perdoc(doc_id, alltoks)` — is
+    * reusable by q49's wordpiece oracle. */
+  private val docTokCtes: String =
+    """docs AS (SELECT doc_id, text FROM documents),
+      |chunks AS (SELECT doc_id, c, ci FROM (
+      |  SELECT doc_id,
+      |    unnest(regexp_split_to_array(replace(text, chr(10), ' '), '\s+')) AS c,
+      |    unnest(range(1, len(regexp_split_to_array(replace(text, chr(10), ' '), '\s+')) + 1)) AS ci
+      |  FROM docs) WHERE c <> ''),
+      |lead AS (SELECT doc_id, ci, c, length(c) AS m,
+      |  COALESCE(list_min([j for j in range(1, length(c) + 1)
+      |    if NOT list_contains(['"','''','(','[','{',chr(8220),chr(8221),chr(8216),chr(8217),chr(171)], substr(c, CAST(j AS INTEGER), 1))]), length(c) + 1) - 1 AS nlead
+      |  FROM chunks),
+      |core0 AS (SELECT doc_id, ci, c, nlead, substr(c, nlead + 1) AS c1, length(c) - nlead AS m1 FROM lead),
+      |core1 AS (SELECT doc_id, ci, c, nlead, c1, m1,
+      |  COALESCE(list_max([L for L in range(1, m1 + 1)
+      |    if NOT list_contains(['.',',',';',':','!','?','"','''',')',']','}',chr(8220),chr(8221),chr(8216),chr(8217),chr(187)], substr(c1, CAST(L AS INTEGER), 1))
+      |       OR (substr(c1, CAST(L AS INTEGER), 1) = '.' AND regexp_matches(substr(c1, 1, CAST(L AS INTEGER)), '^([A-Za-z]\.)+$'))]), 0) AS mcore
+      |  FROM core0),
+      |split1 AS (SELECT doc_id, ci, c, nlead, c1, m1, mcore,
+      |  substr(c1, 1, mcore) AS core,
+      |  lower(substr(c1, 1, mcore)) AS lowcore
+      |  FROM core1),
+      |parts AS (SELECT doc_id, ci, c, nlead, c1, m1, mcore,
+      |  CASE WHEN mcore = 0 THEN []
+      |       WHEN lowcore LIKE '%n''t' AND mcore > 3
+      |         THEN [x for x in [substr(core, 1, mcore - 3), substr(core, mcore - 2)] if x <> '']
+      |       WHEN (lowcore LIKE '%''s' OR lowcore LIKE '%''re' OR lowcore LIKE '%''ve'
+      |             OR lowcore LIKE '%''ll' OR lowcore LIKE '%''d' OR lowcore LIKE '%''m')
+      |            AND strpos(reverse(core), '''') > 0
+      |            AND mcore - strpos(reverse(core), '''') + 1 > 1
+      |         THEN [x for x in [substr(core, 1, mcore - strpos(reverse(core), '''')),
+      |                           substr(core, mcore - strpos(reverse(core), '''') + 1)] if x <> '']
+      |       ELSE [core] END AS plist
+      |  FROM split1),
+      |toks AS (SELECT doc_id, ci,
+      |  [substr(c, CAST(j AS INTEGER), 1) for j in range(1, nlead + 1)]
+      |  || plist
+      |  || [substr(c1, CAST(j AS INTEGER), 1) for j in range(mcore + 1, m1 + 1)] AS tl
+      |  FROM parts),
+      |perdoc AS (SELECT doc_id, flatten(list(tl ORDER BY ci)) AS alltoks FROM toks GROUP BY doc_id)""".stripMargin
+
+  private val q36TokenizeSql: String =
+    "WITH " + docTokCtes + "\n" +
+      """SELECT doc_id, CAST(unnest(range(1, len(alltoks) + 1)) - 1 AS INTEGER) AS tok_idx,
+        |       unnest(alltoks) AS token
+        |FROM perdoc ORDER BY doc_id, tok_idx""".stripMargin
+
+  /** Greedy-WordPiece CTE chain over a `wpwords(word)` input CTE:
+    * ASCII-lower translate, per-position longest-match step array (the
+    * list-comprehension analog of the longest-first scan), a recursive
+    * chain that walks the steps, HF [UNK] semantics (empty / >100 chars /
+    * any unmatchable position), and the three pooled values. Vocab
+    * literals are GENERATED from [[graft.tag.Ontology.WordpieceVocab]] so
+    * the SQL cannot drift from the JVM tokenizer. Ends with
+    * `wpool(word, pieces_str, n_pieces, pool_head, pool_avg, pool_max)`.
+    * The enclosing query must open with WITH RECURSIVE. */
+  private val wpCtes: String = {
+    val V = graft.tag.Ontology.WordpieceVocab
+    val cs = V.Charset.replace("'", "''")
+    val nc = V.NcMulti.map("'" + _ + "'").mkString("[", ",", "]")
+    val ce = V.CMulti.map(p => "'" + p.substring(2) + "'").mkString("[", ",", "]")
+    val mx = V.MaxPieceLen
+    s"""wpw AS (SELECT word, translate(word, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS w FROM wpwords),
+       |wpn AS (SELECT word, w, length(w) AS n FROM wpw),
+       |wpsteps AS (SELECT word, w, n,
+       |  CASE WHEN n = 0 OR n > 100 THEN NULL ELSE
+       |  [ COALESCE(list_max([ L for L in range(1, least($mx, n - i + 1) + 1)
+       |      if (L = 1 AND strpos('$cs', substr(w, CAST(i AS INTEGER), 1)) > 0)
+       |      OR (L > 1 AND i = 1 AND list_contains($nc, substr(w, CAST(i AS INTEGER), CAST(L AS INTEGER))))
+       |      OR (L > 1 AND i > 1 AND list_contains($ce, substr(w, CAST(i AS INTEGER), CAST(L AS INTEGER)))) ]), 0)
+       |    for i in range(1, n + 1) ] END AS step
+       |  FROM wpn),
+       |wpseg AS (
+       |  SELECT word, w, n, step, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces, (step IS NULL) AS unk FROM wpsteps
+       |  UNION ALL
+       |  SELECT word, w, n, step, CAST(pos + step[pos] AS INTEGER),
+       |    list_append(pieces, CASE WHEN pos > 1 THEN '##' ELSE '' END || substr(w, pos, step[pos])),
+       |    step[pos] = 0
+       |  FROM wpseg WHERE NOT unk AND pos <= n AND step[pos] > 0),
+       |wpterm AS (SELECT word, CASE WHEN unk OR pos <= n THEN ['[UNK]'] ELSE pieces END AS pieces
+       |  FROM wpseg WHERE unk OR pos > n OR step[pos] = 0),
+       |wpvals AS (SELECT word, pieces,
+       |  [list_sum([ascii(substr(p, CAST(j AS INTEGER), 1)) * j for j in range(1, length(p) + 1)]) for p in pieces] AS vals
+       |  FROM wpterm),
+       |wpool AS (SELECT word, array_to_string(pieces, ' ') AS pieces_str, CAST(len(pieces) AS INTEGER) AS n_pieces,
+       |  CAST(vals[1] AS BIGINT) AS pool_head,
+       |  floor(CAST(list_sum(vals) AS DOUBLE) * 10000.0 / len(vals) + 0.5) / 10000.0 AS pool_avg,
+       |  CAST(list_max(vals) AS BIGINT) AS pool_max FROM wpvals)""".stripMargin
+  }
+
+  private val q49WordpieceSql: String =
+    "WITH RECURSIVE " + docTokCtes + ",\n" +
+      """tokrows AS (SELECT doc_id, CAST(unnest(range(1, len(alltoks) + 1)) - 1 AS INTEGER) AS tok_idx,
+        |           unnest(alltoks) AS token FROM perdoc),
+        |wpwords AS (SELECT DISTINCT token AS word FROM tokrows),
+        |""".stripMargin + wpCtes + ",\n" +
+      """joined AS (SELECT t.doc_id, t.tok_idx, t.token, p.pieces_str AS pieces, p.n_pieces,
+        |  p.pool_head, p.pool_avg, p.pool_max
+        |  FROM tokrows t JOIN wpool p ON p.word = t.token)
+        |SELECT doc_id, tok_idx, token, pieces, n_pieces,
+        |  CAST(1 + COALESCE(sum(n_pieces) OVER (PARTITION BY doc_id ORDER BY tok_idx
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS bert_idx,
+        |  pool_head, pool_avg, pool_max
+        |FROM joined ORDER BY doc_id, tok_idx""".stripMargin
+
+  private val q50TriggerQuerySql: String =
+    "WITH RECURSIVE " +
+      """f AS (SELECT regexp_extract(filename, '([a-z_]+)\.pred\.json', 1) AS src, json(content) AS j
+        |           FROM read_text(['/root/reference/component/Duration/Mu_test_data/test_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/test_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_ace.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/dev_tbd.pred.json',
+        |                           '/root/reference/component/Duration/Mu_test_data/train_tbd.pred.json'])),
+        |recs AS (SELECT src, unnest(range(CAST(json_array_length(j) AS BIGINT))) AS rec_idx,
+        |                unnest(json_extract(j, '$[*]')) AS rec FROM f),
+        |tok AS (SELECT src, rec_idx, CAST(rec->'$.tokens' AS VARCHAR[]) AS tokens,
+        |               CAST(rec->'$.events' AS JSON[]) AS evs FROM recs),
+        |evr AS (SELECT src, rec_idx, unnest(evs) AS ev,
+        |               CAST(unnest(range(1, len(evs) + 1)) - 1 AS INTEGER) AS event_idx FROM tok),
+        |trigr AS (SELECT src, rec_idx, event_idx, unnest(CAST(ev->'$.triggers' AS JSON[])) AS tr FROM evr),
+        |tridx AS (SELECT DISTINCT g.src, g.rec_idx, g.event_idx, CAST(u.i AS INTEGER) AS ti
+        |          FROM trigr g
+        |          JOIN tok k ON k.src = g.src AND k.rec_idx = g.rec_idx,
+        |          unnest(range(CAST(g.tr->>'$.start_token' AS BIGINT), CAST(g.tr->>'$.end_token' AS BIGINT) + 1)) AS u(i)
+        |          WHERE u.i >= 0 AND u.i < len(k.tokens)),
+        |words AS (SELECT t.src, t.rec_idx, t.event_idx, t.ti, k.tokens[t.ti + 1] AS word
+        |          FROM tridx t JOIN tok k ON k.src = t.src AND k.rec_idx = t.rec_idx),
+        |wpwords AS (SELECT DISTINCT word FROM words),
+        |""".stripMargin + wpCtes + ",\n" +
+      """agg AS (SELECT w.src, w.rec_idx, w.event_idx,
+        |          CAST(count(*) AS INTEGER) AS n_tri, max(p.pool_head) AS query_max
+        |        FROM words w JOIN wpool p ON p.word = w.word
+        |        GROUP BY w.src, w.rec_idx, w.event_idx),
+        |allev AS (SELECT DISTINCT src, rec_idx, event_idx FROM evr)
+        |SELECT a.src, a.rec_idx, a.event_idx,
+        |       COALESCE(g.n_tri, 0) AS n_tri,
+        |       CAST(COALESCE(g.query_max, 0) AS BIGINT) AS query_max
+        |FROM allev a LEFT JOIN agg g
+        |  ON g.src = a.src AND g.rec_idx = a.rec_idx AND g.event_idx = a.event_idx
+        |ORDER BY a.src, a.rec_idx, a.event_idx""".stripMargin
+
   /** Shared DuckDB CTE block: the five golden corpora + inlined gazetteer
     * + the greedy longest-match scan (skip semantics included) as a
     * recursive-CTE cursor walk. Ends with the `walk` CTE defined; q38
@@ -1483,48 +1696,21 @@ object SparkEntry {
     // trailing-punct strip becomes "largest stop position" over a
     // list comprehension (scanning down from the end, the first stop
     // hit IS the maximal stopping length).
-    "q36_tokenize" ->
-      """WITH docs AS (SELECT doc_id, text FROM documents),
-        |chunks AS (SELECT doc_id, c, ci FROM (
-        |  SELECT doc_id,
-        |    unnest(regexp_split_to_array(replace(text, chr(10), ' '), '\s+')) AS c,
-        |    unnest(range(1, len(regexp_split_to_array(replace(text, chr(10), ' '), '\s+')) + 1)) AS ci
-        |  FROM docs) WHERE c <> ''),
-        |lead AS (SELECT doc_id, ci, c, length(c) AS m,
-        |  COALESCE(list_min([j for j in range(1, length(c) + 1)
-        |    if NOT list_contains(['"','''','(','[','{',chr(8220),chr(8221),chr(8216),chr(8217),chr(171)], substr(c, CAST(j AS INTEGER), 1))]), length(c) + 1) - 1 AS nlead
-        |  FROM chunks),
-        |core0 AS (SELECT doc_id, ci, c, nlead, substr(c, nlead + 1) AS c1, length(c) - nlead AS m1 FROM lead),
-        |core1 AS (SELECT doc_id, ci, c, nlead, c1, m1,
-        |  COALESCE(list_max([L for L in range(1, m1 + 1)
-        |    if NOT list_contains(['.',',',';',':','!','?','"','''',')',']','}',chr(8220),chr(8221),chr(8216),chr(8217),chr(187)], substr(c1, CAST(L AS INTEGER), 1))
-        |       OR (substr(c1, CAST(L AS INTEGER), 1) = '.' AND regexp_matches(substr(c1, 1, CAST(L AS INTEGER)), '^([A-Za-z]\.)+$'))]), 0) AS mcore
-        |  FROM core0),
-        |split1 AS (SELECT doc_id, ci, c, nlead, c1, m1, mcore,
-        |  substr(c1, 1, mcore) AS core,
-        |  lower(substr(c1, 1, mcore)) AS lowcore
-        |  FROM core1),
-        |parts AS (SELECT doc_id, ci, c, nlead, c1, m1, mcore,
-        |  CASE WHEN mcore = 0 THEN []
-        |       WHEN lowcore LIKE '%n''t' AND mcore > 3
-        |         THEN [x for x in [substr(core, 1, mcore - 3), substr(core, mcore - 2)] if x <> '']
-        |       WHEN (lowcore LIKE '%''s' OR lowcore LIKE '%''re' OR lowcore LIKE '%''ve'
-        |             OR lowcore LIKE '%''ll' OR lowcore LIKE '%''d' OR lowcore LIKE '%''m')
-        |            AND strpos(reverse(core), '''') > 0
-        |            AND mcore - strpos(reverse(core), '''') + 1 > 1
-        |         THEN [x for x in [substr(core, 1, mcore - strpos(reverse(core), '''')),
-        |                           substr(core, mcore - strpos(reverse(core), '''') + 1)] if x <> '']
-        |       ELSE [core] END AS plist
-        |  FROM split1),
-        |toks AS (SELECT doc_id, ci,
-        |  [substr(c, CAST(j AS INTEGER), 1) for j in range(1, nlead + 1)]
-        |  || plist
-        |  || [substr(c1, CAST(j AS INTEGER), 1) for j in range(mcore + 1, m1 + 1)] AS tl
-        |  FROM parts),
-        |perdoc AS (SELECT doc_id, flatten(list(tl ORDER BY ci)) AS alltoks FROM toks GROUP BY doc_id)
-        |SELECT doc_id, CAST(unnest(range(1, len(alltoks) + 1)) - 1 AS INTEGER) AS tok_idx,
-        |       unnest(alltoks) AS token
-        |FROM perdoc ORDER BY doc_id, tok_idx""".stripMargin,
+    "q36_tokenize" -> q36TokenizeSql,
+
+    // q49: P2+A2 — documents tokenized (q36's CTEs), every distinct
+    // token greedily wordpiece-segmented (step-array longest-match +
+    // recursive chain, vocab literals generated from
+    // Ontology.WordpieceVocab so SQL and JVM cannot drift), [CLS]-offset
+    // alignment as a window cum-sum, and head/average/max pooling per
+    // word re-derived value-for-value.
+    "q49_wordpiece_pool" -> q49WordpieceSql,
+
+    // q50: A3 — trigger token indices per golden event from the JSON,
+    // joined to the wordpiece head values; count + max per event with
+    // the no-anchor zeros fallback as a LEFT JOIN + COALESCE.
+    "q50_trigger_query" -> q50TriggerQuerySql,
+
 
     // q35: headEvidence re-derived in SQL — irregular-lemma VALUES,
     // normLemma CASE chain, lexicon membership, the -ed morphology

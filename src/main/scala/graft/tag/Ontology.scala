@@ -310,4 +310,64 @@ object Ontology {
     val lower = token.toLowerCase
     SurfaceToLemma.getOrElse(lower, graft.text.Text.normLemma(lower))
   }
+
+  /** WordPiece vocabulary — the deterministic stand-in for the
+    * `bert-large-uncased` subword vocab file the reference tokenizes
+    * against (component/BETTER/joint/generate_data/
+    * contextualized_features_bert.py:9-34 calls
+    * `tokenizer.tokenize(orig_token)` per word; saved_args.json pins
+    * `bert_model_type: bert-large-uncased`, i.e. lowercased input). Like
+    * the tagger lexicons above, the vocab plays the role of the absent
+    * model asset (SURVEY.md §7.4 item 1); the SEGMENTATION ALGORITHM
+    * (greedy longest-match-first with `##` continuations, whole-word
+    * `[UNK]` on any unmatchable position) is HuggingFace WordPiece
+    * semantics exactly. ASCII-only by construction so per-char codes
+    * agree between the JVM and the SQL oracle.
+    */
+  object WordpieceVocab {
+    /** Single characters tokenizable standalone AND as continuations. */
+    val Charset: String =
+      "abcdefghijklmnopqrstuvwxyz0123456789.,;:!?'\"()-$%&/@#*+=<>_~[]{}"
+
+    /** Multi-char word-initial pieces (no `##`), effective length 2-7. */
+    val NcMulti: Seq[String] = Seq(
+      "the", "an", "and", "of", "to", "in", "on", "at", "is", "was",
+      "were", "be", "been", "for", "with", "that", "this", "not", "no",
+      "from", "by", "as", "he", "she", "it", "they", "we", "but", "his",
+      "her", "their", "un", "re", "de", "pre", "dis", "mis", "non",
+      "over", "under", "out", "up", "anti", "fore", "inter", "sub",
+      "trans", "meet", "break", "announc", "attack", "elect", "charg",
+      "sentenc", "marri", "travel", "arriv", "deploy", "protest",
+      "report", "visit", "expect", "happen", "continu", "begin", "end",
+      "start", "work", "play", "govern", "presid", "minist", "polic",
+      "court", "war", "city", "army", "week", "year", "month", "day",
+      "hour", "said", "say", "time", "people", "state", "nation")
+
+    /** Multi-char continuation pieces (stored WITH the `##` prefix;
+      * effective length 2-7). */
+    val CMulti: Seq[String] = Seq(
+      "##ing", "##ed", "##es", "##er", "##ers", "##ly", "##ion",
+      "##tion", "##ation", "##ment", "##ness", "##ity", "##al", "##ant",
+      "##ent", "##ate", "##able", "##ible", "##ous", "##ive", "##ist",
+      "##ism", "##ful", "##less", "##ship", "##hood", "##est", "##en",
+      "##an", "##in", "##on", "##or", "##ar", "##ia", "##ic", "##ts",
+      "##th", "##nd", "##st", "##ry", "##ty", "##cy", "##le", "##ce",
+      "##se", "##ne", "##te", "##re", "##ge", "##ve", "##me", "##de")
+
+    /** Longest effective (un-prefixed) piece text. */
+    val MaxPieceLen: Int =
+      (NcMulti.map(_.length) ++ CMulti.map(_.length - 2)).max
+
+    private[tag] val charSet: Set[Char] = Charset.toSet
+    private[tag] val ncSet: Set[String] = NcMulti.toSet
+    // continuation pieces keyed by their effective text (## stripped)
+    private[tag] val cEffSet: Set[String] = CMulti.map(_.substring(2)).toSet
+
+    /** Is `sub` (effective text, no ##) in the vocab at a word-initial
+      * (isCont=false) or continuation (isCont=true) position? */
+    def matches(sub: String, isCont: Boolean): Boolean =
+      if (sub.length == 1) charSet.contains(sub.charAt(0))
+      else if (isCont) cEffSet.contains(sub)
+      else ncSet.contains(sub)
+  }
 }

@@ -282,6 +282,94 @@ object Text {
     (text, span, rootIdx)
   }
 
+  /** Greedy WordPiece segmentation of one (already-tokenized) word — the
+    * P2 subword re-tokenization the reference applies per original token
+    * (`tokenizer.tokenize(orig_token)`,
+    * component/BETTER/joint/generate_data/contextualized_features_bert.py:
+    * 25-27). HuggingFace WordPiece semantics: lowercase (uncased model),
+    * longest-match-first against the vocab at each position, continuation
+    * pieces carry a `##` prefix, and if ANY position has no match — or the
+    * word exceeds 100 chars (HF `max_input_chars_per_word`) — the WHOLE
+    * word becomes a single `[UNK]`. Lowercasing is ASCII-only (A-Z):
+    * full-Unicode lowering is locale- and engine-dependent, the vocab is
+    * ASCII by construction, and any non-ASCII character forces `[UNK]`
+    * either way. Vocabulary: [[graft.tag.Ontology.WordpieceVocab]] (the
+    * model-asset stand-in). */
+  def wordpiece(word: String): Seq[String] = {
+    import graft.tag.Ontology.{WordpieceVocab => V}
+    val w = word.map(c => if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+    if (w.isEmpty || w.length > 100) return Seq("[UNK]")
+    val out = ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < w.length) {
+      val isCont = pos > 0
+      var len = math.min(V.MaxPieceLen, w.length - pos)
+      var found = -1
+      while (len >= 1 && found < 0) {
+        if (V.matches(w.substring(pos, pos + len), isCont)) found = len
+        else len -= 1
+      }
+      if (found < 0) return Seq("[UNK]")
+      out += (if (isCont) "##" + w.substring(pos, pos + found)
+              else w.substring(pos, pos + found))
+      pos += found
+    }
+    out.toSeq
+  }
+
+  /** Sentence-level subword expansion + alignment map — an exact mirror of
+    * the reference's `bert_token` (contextualized_features_bert.py:9-34):
+    * the piece stream opens with `[CLS]` and closes with `[SEP]`, and
+    * `origToTokMap(i)` records the piece index where word `i`'s first
+    * piece landed (the map value is taken BEFORE extending, so word 0 maps
+    * to 1 — after `[CLS]`). The reference's empty-tokenization fallback
+    * (its lines 28-31) is unreachable here because [[wordpiece]] never
+    * returns an empty list (`[UNK]` at minimum).
+    *
+    * Returns (pieces incl. CLS/SEP, origToTokMap). */
+  def wordpieceAlign(tokens: Seq[String]): (Seq[String], Seq[Int]) = {
+    val pieces = ArrayBuffer[String]("[CLS]")
+    val map = ArrayBuffer.empty[Int]
+    for (t <- tokens) {
+      map += pieces.length
+      pieces ++= wordpiece(t)
+    }
+    pieces += "[SEP]"
+    (pieces.toSeq, map.toSeq)
+  }
+
+  /** Deterministic scalar "representation" of a subword piece, shared with
+    * the SQL oracle: sum over characters of `code * (1-based position)`.
+    * Pieces are ASCII by construction (charset + literal markers), so JVM
+    * char codes and SQL `ascii()` agree. */
+  def pieceVal(p: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < p.length) { acc += p.charAt(i).toLong * (i + 1); i += 1 }
+    acc
+  }
+
+  /** Subword→word pooling over one word's pieces — the scalar analog of
+    * `get_repre_from_align` (component/BETTER/joint/neural_model.py:
+    * 322-342) in the three modes the reference actually runs: `head`
+    * (index_select at origToTokMap — the trigger/argument models,
+    * EventPipeline.py:359), `average` (its `pooling='average'` branch),
+    * and `max` (the NER model, EventPipeline.py:324). The selected range
+    * is exactly the word's own pieces: `[map(i), map(i+1))`, and for the
+    * last word `[map(i), bertLength-1)` — which excludes `[SEP]` and is
+    * again the word's own pieces.
+    *
+    * Returns (head, average, max) over [[pieceVal]]s. The average is
+    * rounded half-up at 4 decimals with the same integer-anchored formula
+    * the SQL oracle uses (`floor(sum * 10000 / n + 0.5) / 10000`) so the
+    * two sides agree bit-for-bit on repeating thirds. */
+  def poolWord(pieces: Seq[String]): (Long, Double, Long) = {
+    val vals = pieces.map(pieceVal)
+    val avg =
+      math.floor(vals.sum.toDouble * 10000.0 / vals.length + 0.5) / 10000.0
+    (vals.head, avg, vals.max)
+  }
+
   /** Lemma-ish normalization for canonicalization blocking: lowercase,
     * strip possessives and plural/verbal suffixes. Deterministic. */
   def normLemma(t: String): String = {

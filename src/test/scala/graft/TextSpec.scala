@@ -152,4 +152,54 @@ class TextSpec extends AnyFunSuite {
     val (_, span4, _) = Text.copularPredicate(t4, t4.indexOf("ready"))
     assert(span4 == Seq(t4.indexOf("ready"))) // "was" is behind the comma
   }
+
+  test("wordpiece: greedy longest-match, ## continuations, [UNK] (P2)") {
+    assert(Text.wordpiece("announced") == Seq("announc", "##ed"))
+    assert(Text.wordpiece("meeting") == Seq("meet", "##ing"))
+    assert(Text.wordpiece("The") == Seq("the")) // uncased
+    // greedy = longest FIRST piece, not fewest pieces overall
+    assert(Text.wordpiece("unhappy") ==
+      Seq("un", "##h", "##a", "##p", "##p", "##y"))
+    // punctuation + digits are single-char pieces
+    assert(Text.wordpiece("U.S.") == Seq("u", "##.", "##s", "##."))
+    assert(Text.wordpiece("1,000") == Seq("1", "##,", "##0", "##0", "##0"))
+    // any unmatchable char -> WHOLE word [UNK] (HF semantics)
+    assert(Text.wordpiece("víctor") == Seq("[UNK]"))
+    assert(Text.wordpiece("") == Seq("[UNK]"))
+    assert(Text.wordpiece("a" * 101) == Seq("[UNK]")) // max_input_chars
+    // a continuation-only piece can't open a word and vice versa
+    assert(Text.wordpiece("ed").head != "##ed")
+  }
+
+  test("wordpiece alignment mirrors bert_token (P2: [CLS] offset, " +
+      "first-piece indices)") {
+    val toks = Seq("They", "announced", "a", "meeting")
+    val (pieces, map) = Text.wordpieceAlign(toks)
+    assert(pieces.head == "[CLS]" && pieces.last == "[SEP]")
+    assert(map.length == toks.length)
+    assert(map.head == 1) // word 0 lands right after [CLS]
+    // map(i) points at word i's FIRST piece
+    for (i <- toks.indices)
+      assert(pieces(map(i)) == Text.wordpiece(toks(i)).head)
+    // cumulative: map(i+1) = map(i) + nPieces(i)
+    for (i <- 0 until toks.length - 1)
+      assert(map(i + 1) == map(i) + Text.wordpiece(toks(i)).length)
+    // total stream length = 1 ([CLS]) + sum(pieces) + 1 ([SEP])
+    assert(pieces.length ==
+      2 + toks.map(Text.wordpiece(_).length).sum)
+  }
+
+  test("poolWord: head/average/max over piece values (A2)") {
+    val wp = Text.wordpiece("announced") // announc, ##ed
+    val vals = wp.map(Text.pieceVal)
+    val (h, a, m) = Text.poolWord(wp)
+    assert(h == vals.head && m == vals.max)
+    // fixed 4-decimal rounding, same formula as the SQL oracle
+    assert(a == math.floor(vals.sum.toDouble * 10000.0 / vals.length + 0.5) / 10000.0)
+    // single-piece word: all three pools agree
+    val (h1, a1, m1) = Text.poolWord(Text.wordpiece("the"))
+    assert(h1 == m1 && a1 == h1.toDouble)
+    // pieceVal is position-weighted: anagram pieces differ
+    assert(Text.pieceVal("ab") != Text.pieceVal("ba"))
+  }
 }
