@@ -14,14 +14,14 @@ import org.apache.spark.sql.functions._
   * features extracted from a luminance histogram and resize operating on
   * decoded pixels. The AUDIO path is real too: payloads are actual
   * RIFF/WAVE PCM-16 files decoded to samples by AudioCodec, features from
-  * an amplitude histogram. The VIDEO path is real for UNCOMPRESSED
-  * payloads: YUV4MPEG2 (Y4M) streams decode fully via VideoCodec
-  * (luma-plane histograms, real frame sampling). COMPRESSED video
-  * (H.264 & co.) remains the one declared stub — those codecs genuinely
-  * need native libraries this container lacks — and falls through to a
-  * deterministic fake, with everything Spark-side (schema, binary
-  * column plumbing, batch shape, partitioning, feature-column contract)
-  * real and tested either way.
+  * an amplitude histogram. The VIDEO path is real for uncompressed
+  * YUV4MPEG2 (Y4M) streams (VideoCodec: luma-plane histograms, real frame
+  * sampling) AND for LZW-compressed animated GIF87a/89a (GifCodec: full
+  * LZW + compositing decode). Native-codec video (H.264 & co.) remains
+  * the one declared stub — those codecs genuinely need native libraries
+  * this container lacks — and falls through to a deterministic fake, with
+  * everything Spark-side (schema, binary column plumbing, batch shape,
+  * partitioning, feature-column contract) real and tested either way.
   */
 object Multimodal {
 
@@ -87,14 +87,14 @@ object Multimodal {
     }
   }
 
-  /** ===== STUB (compressed video only) ===== Deterministic fake
-    * "decode + feature extraction": a 16-bin byte histogram,
+  /** ===== STUB (native-codec video only: H.264 & co.) ===== Deterministic
+    * fake "decode + feature extraction": a 16-bin byte histogram,
     * L1-normalized. A real deployment swaps ONLY this body for a codec
     * call (JNI/arrow batch); the operator contract (batched iterator in,
-    * feature rows out) is the real, load-bearing part. Image, audio and
-    * Y4M video rows never reach this — they decode for real via
-    * ImageCodec / AudioCodec / VideoCodec — except as the
-    * malformed-payload fallback. */
+    * feature rows out) is the real, load-bearing part. Image, audio, Y4M
+    * video AND animated-GIF video rows never reach this — they decode for
+    * real via ImageCodec / AudioCodec / VideoCodec / GifCodec — except as
+    * the malformed-payload fallback. */
   def fakeDecodeFeatures(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Int](16)
     for (b <- payload) bins((b & 0xff) >> 4) += 1
@@ -122,12 +122,15 @@ object Multimodal {
           AudioCodec.amplitudeHistogram(samples)
         }
       case "video" =>
-        // REAL for uncompressed Y4M (luma-plane histogram — Y is the
-        // BT.601 luminance the image path derives from RGB); compressed
-        // payloads fall through to the declared stub below
-        VideoCodec.decodeY4m(payload).map { case (_, _, lumaPlanes) =>
-          VideoCodec.lumaHistogram(lumaPlanes)
-        }
+        // REAL for uncompressed Y4M AND LZW-compressed GIF87a/89a
+        // (luma-plane histogram — Y4M's Y plane and GIF's palette-derived
+        // luma are both the BT.601 luminance the image path computes from
+        // RGB); other compressed codecs fall through to the stub below
+        VideoCodec.decodeY4m(payload)
+          .orElse(GifCodec.decode(payload))
+          .map { case (_, _, lumaPlanes) =>
+            VideoCodec.lumaHistogram(lumaPlanes)
+          }
       case _ => None
     }).toOption.flatten
     decoded.getOrElse(fakeDecodeFeatures(payload))
@@ -189,7 +192,8 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      scala.util.Try(VideoCodec.decodeY4m(m.payload)).toOption.flatten match {
+      scala.util.Try(VideoCodec.decodeY4m(m.payload)
+        .orElse(GifCodec.decode(m.payload))).toOption.flatten match {
         case Some((_, _, lumaPlanes)) =>
           lumaPlanes.iterator.zipWithIndex
             .filter { case (_, idx) => idx % stride == 0 }
