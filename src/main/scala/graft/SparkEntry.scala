@@ -379,13 +379,30 @@ object SparkEntry {
           graft.ops.VideoCodec.encodeY4m(w, h, "420jpeg", frames),
           Multimodal.MediaMeta(w, h, 3, 0, nf * 40))
       }
+      // REAL LZW-compressed video through the GifCodec decode path:
+      // palette and per-pixel index are both pure integer formulas the
+      // oracle re-derives; the payload bytes themselves are genuinely
+      // LZW-compressed (a wrong decode shifts the luma histogram)
+      val gifPal = Array.tabulate(8)(k =>
+        ((k * 37 + 11) % 256, (k * 53 + 23) % 256, (k * 29 + 5) % 256))
+      val gifs = Seq((25L, 9, 7, 4), (26L, 13, 5, 3))
+      val gifRows = gifs.map { case (id, w, h, nf) =>
+        val frames = (0 until nf).map { f =>
+          Array.tabulate(w * h)(i => ((i * 3 + f * 5 + id) % 8).toByte)
+        }
+        Multimodal.MediaRow(id, "video",
+          graft.ops.GifCodec.encode(w, h, gifPal, frames),
+          Multimodal.MediaMeta(w, h, 3, 0, nf * 40))
+      }
       val totals = (images.map { case (id, w, h) => (id, (w * h).toLong) } ++
         audios.map { case (id, n) => (id, n.toLong) } ++
         videos.map { case (id, n) => (id, n.toLong) } ++
-        y4ms.map { case (id, w, h, nf) => (id, (w * h * nf).toLong) })
+        y4ms.map { case (id, w, h, nf) => (id, (w * h * nf).toLong) } ++
+        gifs.map { case (id, w, h, nf) => (id, (w * h * nf).toLong) })
         .toDF("media_id", "total")
       val media =
-        s.createDataset(imageRows ++ audioRows ++ videoRows ++ y4mRows)
+        s.createDataset(imageRows ++ audioRows ++ videoRows ++ y4mRows
+          ++ gifRows)
       Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("kind"),
           posexplode(col("features")).as(Seq("bin", "v")))
@@ -2041,6 +2058,7 @@ object SparkEntry {
         |aud(media_id, n) AS (VALUES (11, 200), (12, 333), (13, 512)),
         |vid(media_id, n) AS (VALUES (21, 300), (22, 517)),
         |y4m(media_id, w, h, nf) AS (VALUES (23, 16, 8, 5), (24, 32, 16, 3)),
+        |gif(media_id, w, h, nf) AS (VALUES (25, 9, 7, 4), (26, 13, 5, 3)),
         |pix AS (SELECT media_id, w, unnest(range(w * h)) AS i FROM img),
         |pxy AS (SELECT media_id, i % w AS x, i // w AS y FROM pix),
         |prgb AS (SELECT media_id,
@@ -2052,6 +2070,9 @@ object SparkEntry {
         |vbyte AS (SELECT media_id, unnest(range(n)) AS j FROM vid),
         |yf AS (SELECT media_id, w, h, unnest(range(nf)) AS f FROM y4m),
         |ybyte AS (SELECT media_id, f, unnest(range(w * h)) AS i FROM yf),
+        |gff AS (SELECT media_id, w, h, unnest(range(nf)) AS f FROM gif),
+        |gpx AS (SELECT media_id, f, unnest(range(w * h)) AS i FROM gff),
+        |gk AS (SELECT media_id, (i * 3 + f * 5 + media_id) % 8 AS k FROM gpx),
         |elems AS (
         |  SELECT media_id, ((r * 299 + g * 587 + b * 114) // 1000) // 16 AS bin FROM prgb
         |  UNION ALL
@@ -2061,13 +2082,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT media_id, ((j * j * 31 + j * 7 + media_id) % 256) // 16 AS bin FROM vbyte
         |  UNION ALL
-        |  SELECT media_id, ((i * 7 + f * 13 + media_id) % 256) // 16 AS bin FROM ybyte),
+        |  SELECT media_id, ((i * 7 + f * 13 + media_id) % 256) // 16 AS bin FROM ybyte
+        |  UNION ALL
+        |  SELECT media_id,
+        |         ((((k * 37 + 11) % 256) * 299 + ((k * 53 + 23) % 256) * 587
+        |           + ((k * 29 + 5) % 256) * 114) // 1000) // 16 AS bin
+        |  FROM gk),
         |cnts AS (SELECT media_id, bin, count(*) AS cnt FROM elems GROUP BY media_id, bin),
         |bins AS (SELECT unnest(range(16)) AS bin),
         |allm AS (SELECT media_id, 'image' AS kind FROM img
         |         UNION ALL SELECT media_id, 'audio' FROM aud
         |         UNION ALL SELECT media_id, 'video' FROM vid
-        |         UNION ALL SELECT media_id, 'video' FROM y4m)
+        |         UNION ALL SELECT media_id, 'video' FROM y4m
+        |         UNION ALL SELECT media_id, 'video' FROM gif)
         |SELECT a.media_id, a.kind, b.bin, COALESCE(c.cnt, 0) AS cnt
         |FROM allm a CROSS JOIN bins b
         |LEFT JOIN cnts c ON c.media_id = a.media_id AND c.bin = b.bin

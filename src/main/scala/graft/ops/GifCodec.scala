@@ -26,6 +26,96 @@ object GifCodec {
   private val MaxArea = 1L << 26 // 64 Mpx logical screen
   private val MaxFrames = 4096
 
+  /** Encode palette-index frames as an animated GIF89a (global color
+    * table, full-frame sequential images, no transparency) — the
+    * synthesis-side counterpart of `decode`, used to plant REAL
+    * LZW-compressed video payloads (q19 oracle rows), exactly as
+    * ImageCodec.encodePpm / AudioCodec.encodeWav / VideoCodec.encodeY4m
+    * plant the other media kinds. Round-trip independence is preserved
+    * by GifCodecSpec, which checks `decode` against its OWN separate
+    * in-test encoder. Standard early-change variable-width LZW. */
+  def encode(w: Int, h: Int, palette: Array[(Int, Int, Int)],
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0 && palette.nonEmpty && palette.length <= 256)
+    require(frames.forall(_.length == w * h))
+    var gb = 0
+    while ((2 << gb) < palette.length) gb += 1
+    val out = Array.newBuilder[Byte]
+    def le16(v: Int): Unit = {
+      out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte
+    }
+    out ++= "GIF89a".getBytes("US-ASCII")
+    le16(w); le16(h)
+    out += (0x80 | (gb << 4) | gb).toByte
+    out += 0.toByte // background index
+    out += 0.toByte // aspect
+    for (i <- 0 until (2 << gb)) {
+      val (r, g, b) = if (i < palette.length) palette(i) else (0, 0, 0)
+      out += r.toByte; out += g.toByte; out += b.toByte
+    }
+    val mcs = math.max(2, gb + 1)
+    for (f <- frames) {
+      out += 0x2c.toByte
+      le16(0); le16(0); le16(w); le16(h)
+      out += 0.toByte // no LCT, sequential
+      out += mcs.toByte
+      val data = lzwEncode(f, mcs)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out += n.toByte
+        out ++= java.util.Arrays.copyOfRange(data, off, off + n)
+        off += n
+      }
+      out += 0.toByte // sub-block terminator
+    }
+    out += 0x3b.toByte
+    out.result()
+  }
+
+  /** GIF-variant LZW with the standard early width change (GIFCOMPR.C
+    * convention `decode` mirrors): the width check runs after each
+    * emit, before the add that follows it; dictionary capped at 4096
+    * (no adds past the cap — `decode` tolerates, as real decoders do).
+    */
+  private def lzwEncode(indices: Array[Byte], mcs: Int): Array[Byte] = {
+    val clear = 1 << mcs
+    val eoi = clear + 1
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var codeSize = mcs + 1
+    var nextCode = eoi + 1
+    val out = Array.newBuilder[Byte]
+    var acc = 0L
+    var nbits = 0
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nbits
+      nbits += codeSize
+      while (nbits >= 8) {
+        out += (acc & 0xff).toByte; acc >>>= 8; nbits -= 8
+      }
+      if (nextCode >= (1 << codeSize) && codeSize < 12) codeSize += 1
+    }
+    emit(clear)
+    var prev = indices(0) & 0xff
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i) & 0xff
+      val key = (prev << 8) | k
+      val hit = dict.get(key)
+      if (hit != null) prev = hit
+      else {
+        emit(prev)
+        if (nextCode < 4096) { dict.put(key, nextCode); nextCode += 1 }
+        prev = k
+      }
+      i += 1
+    }
+    emit(prev)
+    emit(eoi)
+    if (nbits > 0) out += (acc & 0xff).toByte
+    out.result()
+  }
+
   /** Decode a GIF payload to (width, height, lumaPlanes) — one w*h plane
     * per frame, composited (each plane is the full logical screen as of
     * that frame). None on anything malformed. */

@@ -266,6 +266,22 @@ class GifCodecSpec extends AnyFunSuite {
     assert(GifCodec.decode(short).isEmpty)
   }
 
+  test("main-tree encoder (q19 synthesis path) round-trips through decode") {
+    val gifPal = Array.tabulate(8)(k =>
+      ((k * 37 + 11) % 256, (k * 53 + 23) % 256, (k * 29 + 5) % 256))
+    for ((id, w, h, nf) <- Seq((25L, 9, 7, 4), (26L, 13, 5, 3))) {
+      val frames = (0 until nf).map { f =>
+        Array.tabulate(w * h)(i => ((i * 3 + f * 5 + id) % 8).toByte)
+      }
+      val enc = GifCodec.encode(w, h, gifPal, frames)
+      val Some((gw, gh, planes)) = GifCodec.decode(enc)
+      assert(gw == w && gh == h && planes.length == nf)
+      for (f <- 0 until nf)
+        assert(planes(f).sameElements(
+          frames(f).map(i => luma(gifPal(i & 0xff)))), s"id=$id frame=$f")
+    }
+  }
+
   test("multimodal video path: GIF decodes for real (features + frames)") {
     val (w, h) = (16, 12)
     val f1 = Array.fill(w * h)(1.toByte)

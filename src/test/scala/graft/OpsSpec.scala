@@ -573,17 +573,25 @@ class OpsSpec extends AnyFunSuite {
     // "never throws, 16 features out" — not "never decodes"
     val rng = new scala.util.Random(0xfade)
     val validPpm = ImageCodec.encodePpm(4, 4, Array.fill[Byte](48)(3))
+    val validGif = graft.ops.GifCodec.encode(6, 5,
+      Array.tabulate(4)(k => (k * 60, k * 50, k * 40)),
+      Seq(Array.tabulate(30)(i => (i % 4).toByte)))
     for (i <- 1 to 300) {
       val p =
-        if (i % 3 == 0) Array.fill[Byte](rng.nextInt(200))(rng.nextInt(256).toByte)
+        if (i % 4 == 0) Array.fill[Byte](rng.nextInt(200))(rng.nextInt(256).toByte)
         else {
-          val base = (if (i % 3 == 1) validPpm else good).clone()
+          val base = (i % 4 match {
+            case 1 => validPpm
+            case 2 => good
+            case _ => validGif
+          }).clone()
           for (_ <- 0 to rng.nextInt(8))
             base(rng.nextInt(base.length)) = rng.nextInt(256).toByte
           base
         }
       assert(Multimodal.decodeFeatures("image", p).length == 16)
       assert(Multimodal.decodeFeatures("audio", p).length == 16)
+      assert(Multimodal.decodeFeatures("video", p).length == 16)
     }
   }
 
