@@ -1131,6 +1131,23 @@ object SparkEntry {
         }
         .toDF("src", "rec_idx", "event_idx", "n_tri", "query_max")
         .orderBy("src", "rec_idx", "event_idx")
+    }),
+    "q51_sql_functions" -> ((s, dir) => {
+      // §2.8 through the SQL surface: both native Expressions resolved
+      // from the session FunctionRegistry — injected by GraftExtensions
+      // via spark.sql.extensions (the cluster `--conf` path; Verify/Bench
+      // builders set it), NOT the Column API — proving a pure-SQL
+      // consumer gets the same codegen'd operators, hash-identical to
+      // the DuckDB re-derivation.
+      t(s, dir, "documents").createOrReplaceTempView("g51_documents")
+      t(s, dir, "embeddings").createOrReplaceTempView("g51_embeddings")
+      s.sql("""SELECT d.doc_id,
+              |  rolling_fingerprint(d.text, 32) AS fp,
+              |  ROUND(cosine_similarity(e.embedding, f.embedding), 4) AS cos_next
+              |FROM g51_documents d
+              |JOIN g51_embeddings e ON e.vec_id = d.doc_id
+              |JOIN g51_embeddings f ON f.vec_id = d.doc_id + 1
+              |ORDER BY d.doc_id""".stripMargin)
     })
   )
 
@@ -2414,6 +2431,37 @@ object SparkEntry {
         |  END AS fingerprint
         |FROM norm, pows
         |ORDER BY doc_id""".stripMargin,
+    // q51: the SQL-surface query re-derived function-free — the q17
+    // rolling-hash CTE for rolling_fingerprint plus
+    // list_cosine_similarity on DOUBLE[] (the q23 convention) for
+    // cosine_similarity, over the same doc_id/vec_id equi-joins.
+    "q51_sql_functions" ->
+      """WITH RECURSIVE pw(j, p) AS (
+        |  SELECT 0, 1::HUGEINT
+        |  UNION ALL
+        |  SELECT j + 1, (p * 1000003::HUGEINT) % 2305843009213693951::HUGEINT
+        |  FROM pw WHERE j < 31),
+        |pows AS (SELECT list(p ORDER BY j DESC) AS pl FROM pw),
+        |norm AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents),
+        |fp AS (SELECT doc_id,
+        |  CASE WHEN length(s) = 0 THEN 0
+        |  ELSE CAST(list_min([
+        |      list_sum([unicode(s[i+j])::HUGEINT
+        |                * pl[33 - least(32, length(s)) + j]
+        |                for j in range(0, least(32, length(s)))])
+        |        % 2305843009213693951::HUGEINT
+        |      for i in range(1, length(s) - least(32, length(s)) + 2)]) AS BIGINT)
+        |  END AS fp
+        |  FROM norm, pows),
+        |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT fp.doc_id, fp.fp,
+        |  ROUND(list_cosine_similarity(e.v, f.v), 4) AS cos_next
+        |FROM fp
+        |JOIN e ON e.vec_id = fp.doc_id
+        |JOIN e f ON f.vec_id = fp.doc_id + 1
+        |ORDER BY fp.doc_id""".stripMargin,
     "q27_pii_redact" ->
       """WITH planted(doc_id, text) AS (VALUES
         |  (9000001, 'contact john.doe@example.com or jane_smith+tag@mail.co.uk today'),

@@ -37,6 +37,9 @@ case class RollingFingerprint(child: Expression, window: Int)
 }
 
 object RollingFingerprint {
+  /** Window used when the SQL surface / library callers don't pass one —
+    * kept in lockstep with the q17 DuckDB oracle's 32-power CTE. */
+  final val DefaultWindow = 32
   final val Base = 1000003L
   final val Mod = (1L << 61) - 1
 

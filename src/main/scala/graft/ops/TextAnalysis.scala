@@ -103,7 +103,7 @@ object TextAnalysis {
 
   /** Winnowing-style document fingerprint (native Expression). */
   def withFingerprint(docs: DataFrame, textCol: String = "text",
-      window: Int = 32): DataFrame =
+      window: Int = RollingFingerprint.DefaultWindow): DataFrame =
     docs.withColumn("fingerprint",
       RollingFingerprint.rolling_fingerprint(col(textCol), window))
 
