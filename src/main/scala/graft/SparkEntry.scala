@@ -1148,6 +1148,31 @@ object SparkEntry {
               |JOIN g51_embeddings e ON e.vec_id = d.doc_id
               |JOIN g51_embeddings f ON f.vec_id = d.doc_id + 1
               |ORDER BY d.doc_id""".stripMargin)
+    }),
+    "q52_bucketed_join" -> ((s, dir) => {
+      // The 100-TB co-located-join mechanism, driver-checkable: lineitem
+      // and orders are committed ONCE as parquet tables bucketed+sorted
+      // on the order key (that write pays the only shuffle), then the
+      // join AND the per-order aggregate read the on-disk hash
+      // partitioning — the join/agg subtree carries NO Exchange (pinned
+      // at plan level in BucketedSpec); values hash-checked against a
+      // plain DuckDB join.
+      import graft.ops.Bucketed
+      Bucketed.write(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "g52_lineitem", "l_orderkey", 8)
+      Bucketed.write(t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus"),
+        "g52_orders", "o_orderkey", 8)
+      s.table("g52_lineitem")
+        .join(s.table("g52_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderstatus")
+        .agg(
+          round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("l_orderkey")
     })
   )
 
@@ -2462,6 +2487,15 @@ object SparkEntry {
         |JOIN e ON e.vec_id = fp.doc_id
         |JOIN e f ON f.vec_id = fp.doc_id + 1
         |ORDER BY fp.doc_id""".stripMargin,
+    // q52: the bucketed join re-derived as a plain join — bucketing must
+    // be a pure physical-layout property with zero value impact.
+    "q52_bucketed_join" ->
+      """SELECT l_orderkey, o_orderstatus,
+        |  CAST(ROUND(SUM(l_quantity)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q27_pii_redact" ->
       """WITH planted(doc_id, text) AS (VALUES
         |  (9000001, 'contact john.doe@example.com or jane_smith+tag@mail.co.uk today'),
