@@ -21,7 +21,8 @@ object PlanAudit {
       "q34_negation_scope", "q35_head_evidence", "q36_tokenize",
       "q37_sentsplit", "q38_gazetteer_ner", "q39_trigger_spans",
       "q40_argument_spans", "q41_align_inject", "q42_duration_speculation",
-      "q43_ner_eval", "q51_sql_functions", "q52_bucketed_join")
+      "q43_ner_eval", "q51_sql_functions", "q52_bucketed_join",
+      "q53_partition_pruned")
     val sb = new StringBuilder
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)

@@ -1173,6 +1173,37 @@ object SparkEntry {
           sum(round(col("l_extendedprice") * 100).cast("long")).as("price_cents"),
           count(lit(1)).as("n"))
         .orderBy("l_orderkey")
+    }),
+    "q53_partition_pruned" -> ((s, dir) => {
+      // Dynamic partition pruning, driver-checkable: events is committed
+      // ONCE partitioned on disk by event_type (at 100 TB: by day/source
+      // — the layout that makes every selective query skip most of the
+      // table), then joined to a dim derived with a selective predicate.
+      // Catalyst inserts a dynamicpruningexpression into the fact scan's
+      // PartitionFilters — partitions outside the dim's broadcast result
+      // never leave disk. The require() makes the driver row itself fail
+      // if the pruning subquery is ever missing from the plan; values are
+      // hash-checked against a plain DuckDB join on the unpartitioned
+      // table (layout must be value-invisible).
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_dpp_q53").toString
+      t(s, dir, "events").write.mode("overwrite")
+        .partitionBy("event_type").parquet(root)
+      val dim = t(s, dir, "events")
+        .filter(col("event_type") < lit("m"))
+        .select("event_type").distinct()
+      val out = s.read.parquet(root)
+        .join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruning"),
+        s"q53: fact scan lost its dynamic pruning subquery; plan:\n${plan.take(1500)}")
+      out
     })
   )
 
@@ -2496,6 +2527,15 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // q53: the partition-pruned join re-derived over the unpartitioned
+    // table — on-disk layout must be a pure physical property.
+    "q53_partition_pruned" ->
+      """WITH dim AS (SELECT DISTINCT event_type FROM events WHERE event_type < 'm')
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+        |  COUNT(DISTINCT user_id) AS users
+        |FROM events e JOIN dim USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q27_pii_redact" ->
       """WITH planted(doc_id, text) AS (VALUES
         |  (9000001, 'contact john.doe@example.com or jane_smith+tag@mail.co.uk today'),
