@@ -1204,6 +1204,21 @@ object SparkEntry {
       require(plan.contains("dynamicpruning"),
         s"q53: fact scan lost its dynamic pruning subquery; plan:\n${plan.take(1500)}")
       out
+    }),
+    "q54_incremental_neardup" -> ((s, dir) => {
+      // Incremental near-dup — the continuous-ingest shape: the corpus
+      // (doc_id % 10 != 0) commits its df-capped shingle index ONCE as a
+      // table bucketed on the shingle hash; the new batch (doc_id % 10
+      // == 0) joins against that on-disk partitioning, so at 100 TB the
+      // corpus side never re-shuffles and corpus text is never re-read.
+      // Exact Jaccard over the capped universe, hash-checked against a
+      // from-scratch DuckDB re-derivation of the same cross pairs.
+      val docs = t(s, dir, "documents")
+      Dedup.commitShingleIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "g54_index", n = 3, maxShingleDf = 100, buckets = 8)
+      Dedup.incrementalJaccardPairs(s, "g54_index",
+        docs.filter(col("doc_id") % 10 === 0), n = 3, threshold = 0.5)
+        .orderBy("new_id", "corpus_id")
     })
   )
 
@@ -2536,6 +2551,34 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS users
         |FROM events e JOIN dim USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q54: the incremental cross-pair Jaccard re-derived from scratch —
+    // the committed-index path must equal a direct recomputation. Same
+    // shingling as the q13 oracle; the df cap is CORPUS-df, applied to
+    // both sides (stop-shingles drop from batch sets too).
+    "q54_incremental_neardup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                          for i in range(1, len(w) - 1)])) AS g
+        |  FROM w WHERE len(w) >= 3),
+        |cg AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+        |bg AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+        |df AS (SELECT g, COUNT(*) AS df FROM cg GROUP BY 1),
+        |keptc AS (SELECT doc_id, t.g FROM cg t JOIN df USING (g) WHERE df <= 100),
+        |keptb AS (SELECT doc_id, g FROM bg
+        |  WHERE g NOT IN (SELECT g FROM df WHERE df > 100)),
+        |nc AS (SELECT doc_id, COUNT(*) AS n FROM keptc GROUP BY 1),
+        |nb AS (SELECT doc_id, COUNT(*) AS n FROM keptb GROUP BY 1),
+        |pairs AS (SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+        |    COUNT(*) AS common
+        |  FROM keptb b JOIN keptc c ON b.g = c.g GROUP BY 1, 2)
+        |SELECT new_id, corpus_id,
+        |  ROUND(common::DOUBLE / (nb.n + nc.n - common), 4) AS jaccard
+        |FROM pairs JOIN nb ON nb.doc_id = new_id
+        |JOIN nc ON nc.doc_id = corpus_id
+        |WHERE common::DOUBLE / (nb.n + nc.n - common) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
     "q27_pii_redact" ->
       """WITH planted(doc_id, text) AS (VALUES
         |  (9000001, 'contact john.doe@example.com or jane_smith+tag@mail.co.uk today'),

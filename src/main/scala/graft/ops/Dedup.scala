@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines, over a
@@ -329,6 +329,78 @@ object Dedup {
     docs.select(col(idCol), explode(shingles(col(textCol), n)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
+
+  // ---- incremental near-dup against a committed corpus index ----
+
+  /** Commit the corpus shingle index ONCE: `table` holds
+    * (idCol, g, nsh) — the corpus-df-capped inverted index with per-doc
+    * capped set sizes — written bucketed+sorted on the 64-bit shingle
+    * hash `g`; `table_stop` holds the stop-shingles the cap removed
+    * (the batch side must drop them too for Jaccard to stay exact over
+    * the capped universe).
+    *
+    * This is the incremental-ingest shape at 100 TB: the corpus index is
+    * written once per corpus snapshot (that write pays its shuffle), and
+    * every incoming batch joins against the ON-DISK hash partitioning —
+    * the corpus side never re-shuffles and corpus TEXT is never re-read;
+    * only the small batch side exchanges (plan-pinned in
+    * IncrementalDedupSpec). */
+  def commitShingleIndex(docs: DataFrame, table: String, n: Int = 3,
+      maxShingleDf: Int = 100, buckets: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val inv = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        shingleSet(t, n).map(g => (id, hash64(g)))
+      })
+      .toDF(idCol, "g")
+    val df_ = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    val kept = inv.join(df_.filter(col("df") <= maxShingleDf), Seq("g"))
+      .select(col(idCol), col("g"))
+    val nsh = kept.groupBy(idCol).agg(count(lit(1)).as("nsh"))
+    Bucketed.write(kept.join(nsh, Seq(idCol)), table, "g", buckets)
+    df_.filter(col("df") > maxShingleDf).select("g")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${table}_stop")
+  }
+
+  /** Match a NEW batch of documents against a committed corpus index
+    * (see commitShingleIndex): exact Jaccard between each batch doc and
+    * each corpus doc over the corpus-df-capped shingle universe, kept at
+    * `threshold`. Output: (new_id, corpus_id, jaccard), one row per
+    * matched cross pair.
+    *
+    * The length pre-filter (t·|B| ≤ |A| ≤ |B|/t) drops mismatched pairs
+    * before the per-shingle rows aggregate — same guard as
+    * ngramJaccardPairs. */
+  def incrementalJaccardPairs(spark: SparkSession, table: String,
+      batch: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val idx = spark.table(table)
+    val stop = spark.table(s"${table}_stop")
+    val binv = batch.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        shingleSet(t, n).map(g => (id, hash64(g)))
+      })
+      .toDF("new_id", "g")
+    val bkept = binv.join(stop, Seq("g"), "left_anti")
+    val bn = bkept.groupBy("new_id").agg(count(lit(1)).as("nb"))
+    bkept.join(bn, Seq("new_id"))
+      .join(idx, Seq("g"))
+      .filter(col("nb") >= col("nsh") * threshold &&
+        col("nsh") >= col("nb") * threshold)
+      .groupBy(col("new_id"), col(idCol).as("corpus_id"),
+        col("nb"), col("nsh"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("nb") + col("nsh") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
 
   // ---- cluster resolution (pairs -> keep/drop decisions) ----
 
