@@ -22,7 +22,8 @@ object PlanAudit {
       "q37_sentsplit", "q38_gazetteer_ner", "q39_trigger_spans",
       "q40_argument_spans", "q41_align_inject", "q42_duration_speculation",
       "q43_ner_eval", "q51_sql_functions", "q52_bucketed_join",
-      "q53_partition_pruned", "q54_incremental_neardup")
+      "q53_partition_pruned", "q54_incremental_neardup",
+      "kg_snapshot_delta")
     val sb = new StringBuilder
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)

@@ -48,6 +48,17 @@ object SparkEntry {
       Triples.fromFilesDistinctCommitted(spark, Synth.corpus(spark, nFiles, spf))
     })
 
+  /** The PRIOR corpus snapshot for kg_snapshot_delta: the first half of
+    * the corpus (prefix-deterministic — Synth.corpus(n) is file-indexed,
+    * so corpus(n/2) is literally the first n/2 files of corpus(n)).
+    * Cached like [[triplesFor]] so Bench/Verify pay its pipeline once. */
+  private def priorTriplesFor(spark: SparkSession, dir: String): DataFrame =
+    tripleCache.getOrElseUpdate(s"$dir#prior", {
+      val (nFiles, spf) = Synth.sizeForSfDir(dir)
+      Triples.fromFilesDistinctCommitted(spark,
+        Synth.corpus(spark, math.max(1L, nFiles / 2), spf))
+    })
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -118,6 +129,15 @@ object SparkEntry {
     "kg_triples_by_pred" -> ((s, dir) =>
       triplesFor(s, dir).groupBy(col("pred")).agg(count(lit(1)).as("n"))
         .orderBy("pred")),
+    "kg_snapshot_delta" -> ((s, dir) =>
+      // Incremental KG publishing: the changelog between the half-corpus
+      // snapshot and the full corpus. Because the KG is a global
+      // computation (sameAs clusters merge, canonical forms re-pick as
+      // documents arrive), the delta carries dels as well as adds —
+      // value-checked against the EXCEPT of two INDEPENDENTLY derived
+      // gold sets (GoldDeriver runs per corpus size, no pipeline code).
+      Triples.snapshotDelta(triplesFor(s, dir), priorTriplesFor(s, dir))
+        .orderBy("op", "subj", "pred", "obj")),
     "kg_events_by_type" -> ((s, dir) =>
       triplesFor(s, dir).filter(col("pred") === "hasType")
         .groupBy(col("obj").as("event_type")).agg(count(lit(1)).as("n"))
@@ -1427,6 +1447,28 @@ object SparkEntry {
     // (q30-q42) cannot give.
     "kg_triples_by_pred" ->
       (goldCte + "SELECT pred, count(*) AS n FROM gold GROUP BY pred ORDER BY pred"),
+    // kg_snapshot_delta: EXCEPT between the two independently derived
+    // gold sets (full corpus vs half corpus) — both sides re-derived by
+    // GoldDeriver per corpus size, so a pipeline bug that only shows
+    // when later documents change earlier canonicalization fails here.
+    "kg_snapshot_delta" ->
+      ("WITH raw AS (SELECT subj, pred, obj, filename " +
+        "FROM read_csv('/tmp/graft_gold/*/gold_triples.tsv', " +
+        "delim='\\t', header=true, all_varchar=true, filename=true)), " +
+        "sel AS (SELECT CASE count(*) WHEN 6000 THEN '60_s6' " +
+        "WHEN 60000 THEN '600_s6' WHEN 600000 THEN '6000_s8' " +
+        "ELSE 'unknown' END AS cur, CASE count(*) WHEN 6000 THEN '30_s6' " +
+        "WHEN 60000 THEN '300_s6' WHEN 600000 THEN '3000_s8' " +
+        "ELSE 'unknown' END AS pri FROM lineitem), " +
+        "cur AS (SELECT DISTINCT subj, pred, obj FROM raw, sel " +
+        "WHERE filename LIKE '%/n' || sel.cur || '/%'), " +
+        "pri AS (SELECT DISTINCT subj, pred, obj FROM raw, sel " +
+        "WHERE filename LIKE '%/n' || sel.pri || '/%'), " +
+        "adds AS (SELECT * FROM cur EXCEPT SELECT * FROM pri), " +
+        "dels AS (SELECT * FROM pri EXCEPT SELECT * FROM cur) " +
+        "SELECT 'add' AS op, subj, pred, obj FROM adds " +
+        "UNION ALL SELECT 'del' AS op, subj, pred, obj FROM dels " +
+        "ORDER BY 1, 2, 3, 4"),
     "kg_events_by_type" ->
       (goldCte + "SELECT obj AS event_type, count(*) AS n FROM gold " +
         "WHERE pred = 'hasType' GROUP BY obj ORDER BY event_type"),

@@ -30,6 +30,8 @@ object Verify {
     // q44/q45 run at the fixed sf0.001 corpus shape at every scale
     // directory — their oracles pin the n60_s6 export
     graft.gold.GoldDeriver.exportTsv(60L, 6)
+    // kg_snapshot_delta diffs against the half-corpus snapshot
+    graft.gold.GoldDeriver.exportTsv(math.max(1L, nFiles / 2), spf)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -183,4 +183,22 @@ object Triples {
     (caches ++ ann.caches).foreach(_.unpersist())
     snapped
   }
+
+  /** Changelog between two KG snapshots: (op ∈ {add, del}, subj, pred,
+    * obj) — the incremental-publishing primitive. The KG is a GLOBAL
+    * computation (new documents can merge sameAs clusters and re-pick
+    * canonical argument forms), so growing the corpus produces dels as
+    * well as adds; a consumer applies (prior \ dels) ∪ adds = current
+    * (the invariant SnapshotDeltaSpec pins).
+    *
+    * except() plans as a left-anti hash join + distinct on the three
+    * triple columns — shuffle on the triple hash, no driver-side set
+    * materialization, the 100-TB-safe diff shape. */
+  def snapshotDelta(current: DataFrame, prior: DataFrame): DataFrame = {
+    val c = current.select("subj", "pred", "obj").distinct()
+    val p = prior.select("subj", "pred", "obj").distinct()
+    c.except(p).withColumn("op", lit("add"))
+      .unionByName(p.except(c).withColumn("op", lit("del")))
+      .select("op", "subj", "pred", "obj")
+  }
 }
