@@ -1239,6 +1239,45 @@ object SparkEntry {
       Dedup.incrementalJaccardPairs(s, "g54_index",
         docs.filter(col("doc_id") % 10 === 0), n = 3, threshold = 0.5)
         .orderBy("new_id", "corpus_id")
+    }),
+
+    "kg_temporal_closure" -> ((s, dir) => {
+      // KG inference over the composed pipeline output: temporal edges
+      // (BEFORE plus reversed AFTER) lifted through the sameAs
+      // canonicalization — so chains span sentences/documents via shared
+      // canonical events — then shortest-hop transitive closure by
+      // semi-naive BFS (Triples.transitiveClosure). hops > 1 rows are
+      // facts the pairwise classifier never asserted; s == o rows are
+      // temporal contradictions surfaced by linking. Oracle: the same
+      // lift + a recursive CTE over the independent gold triple set.
+      val tri = triplesFor(s, dir)
+      val canon = tri.filter(col("pred") === "sameAs")
+        .select(col("subj").as("ev"), col("obj").as("canon"))
+      val raw = tri.filter(col("pred") === "BEFORE")
+        .select(col("subj").as("s0"), col("obj").as("o0"))
+        .unionByName(tri.filter(col("pred") === "AFTER")
+          .select(col("obj").as("s0"), col("subj").as("o0")))
+      val lifted = raw
+        .join(canon.select(col("ev").as("s0"), col("canon").as("cs")),
+          Seq("s0"), "left")
+        .join(canon.select(col("ev").as("o0"), col("canon").as("co")),
+          Seq("o0"), "left")
+        .select(coalesce(col("cs"), col("s0")).as("s"),
+          coalesce(col("co"), col("o0")).as("o"))
+      Triples.transitiveClosure(lifted, maxHops = 12).orderBy("s", "o")
+    }),
+
+    "q55_batch_plan" -> ((s, dir) => {
+      // K3 driver row — the length-sorted batch plan and its padding
+      // cost on a deterministic grouping (doc_id % 16), so the policy
+      // the physical sortWithinPartitions applies inside tagStage is
+      // value-checked: batches of 8 by ws-token length desc, pad_waste
+      // = n*max-sum per batch. The oracle re-derives the whole plan
+      // with SQL window functions.
+      graft.kg.Pipeline.batchPadPlan(
+        TextAnalysis.withTokenCounts(t(s, dir, "documents")),
+        col("doc_id") % 16, col("ws_tokens"), col("doc_id"), batchSize = 8)
+        .orderBy("grp", "batch_id")
     })
   )
 
@@ -1483,6 +1522,25 @@ object SparkEntry {
     "kg_entities_top" ->
       (goldCte + "SELECT obj AS entity, count(*) AS n FROM gold " +
         "WHERE pred = 'hasEntity' GROUP BY obj ORDER BY n DESC, entity LIMIT 20"),
+    // kg_temporal_closure: the canonical-lifted temporal closure
+    // re-derived from the gold set — sameAs lift via LEFT JOIN +
+    // coalesce (gold omits identity mappings, like the engine), then a
+    // recursive CTE bounded at the same 12 hops; min(d) = shortest hop,
+    // matching the BFS anti-join semantics.
+    "kg_temporal_closure" ->
+      (goldCte +
+        """, canon AS (SELECT subj AS ev, obj AS canon FROM gold WHERE pred = 'sameAs'),
+          |raw AS (SELECT subj AS s, obj AS o FROM gold WHERE pred = 'BEFORE'
+          |        UNION SELECT obj, subj FROM gold WHERE pred = 'AFTER'),
+          |e AS (SELECT DISTINCT coalesce(cs.canon, r.s) AS s, coalesce(co.canon, r.o) AS o
+          |      FROM raw r LEFT JOIN canon cs ON r.s = cs.ev
+          |                 LEFT JOIN canon co ON r.o = co.ev),
+          |cl AS (WITH RECURSIVE rec(s, o, d) AS (
+          |    SELECT s, o, 1 FROM e
+          |    UNION
+          |    SELECT rec.s, e.o, rec.d + 1 FROM rec JOIN e ON rec.o = e.s WHERE rec.d < 12)
+          |  SELECT s, o, CAST(min(d) AS BIGINT) AS hops FROM rec GROUP BY s, o)
+          |SELECT s, o, hops FROM cl ORDER BY s, o""".stripMargin),
     // kg_timeline: the A8 longest-path layering per document over the
     // gold relation triples — directed weighted edges, per-doc recursive
     // reach, per-doc min-max normalization with half-even rounding
@@ -2621,6 +2679,22 @@ object SparkEntry {
         |JOIN nc ON nc.doc_id = corpus_id
         |WHERE common::DOUBLE / (nb.n + nc.n - common) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+    // q55: the K3 batch plan re-derived with SQL window functions — same
+    // ws-token length as q16, same grouping (doc_id % 16), rank by len
+    // desc / doc_id asc, batches of 8, pad_waste = n*max-sum.
+    "q55_batch_plan" ->
+      """WITH lens AS (SELECT doc_id % 16 AS grp,
+        |    CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |         ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT) AS len,
+        |    doc_id AS ord
+        |  FROM documents),
+        |ranked AS (SELECT grp, len,
+        |    CAST(FLOOR((row_number() OVER (PARTITION BY grp ORDER BY len DESC, ord ASC) - 1) / 8.0) AS BIGINT) AS batch_id
+        |  FROM lens)
+        |SELECT grp, batch_id, COUNT(*) AS n_rows,
+        |  MAX(len) AS max_len, CAST(SUM(len) AS BIGINT) AS sum_len,
+        |  CAST(COUNT(*) * MAX(len) - SUM(len) AS BIGINT) AS pad_waste
+        |FROM ranked GROUP BY grp, batch_id ORDER BY grp, batch_id""".stripMargin,
     "q27_pii_redact" ->
       """WITH planted(doc_id, text) AS (VALUES
         |  (9000001, 'contact john.doe@example.com or jane_smith+tag@mail.co.uk today'),

@@ -101,6 +101,37 @@ object Pipeline {
       }
   }
 
+  /** K3's batching SEMANTICS made driver-visible. The physical K3 op in
+    * [[tagStage]] is a narrow `sortWithinPartitions` — deliberately
+    * placement-dependent, so its effect (pad minimization) can't be
+    * value-checked from output rows. This companion computes the batch
+    * plan the same policy produces on a DETERMINISTIC grouping: within
+    * each `grp`, rows sort by `len` desc (tie-break `ord` asc), split
+    * into fixed-size batches, and each batch reports its padding cost
+    * `pad_waste = n*max(len) - sum(len)` — the quantity the length sort
+    * minimizes (reference pad_collate, joint_model.py:62: batches are
+    * padded to their max member, so grouping similar lengths shrinks the
+    * pad). One shuffle on the group key; the window is bounded by the
+    * group size, so at cluster scale `grp` should be a partition-sized
+    * key (doc shard, file) exactly like the pipeline's per-partition
+    * batches. */
+  def batchPadPlan(df: DataFrame, grp: org.apache.spark.sql.Column,
+      len: org.apache.spark.sql.Column, ord: org.apache.spark.sql.Column,
+      batchSize: Int): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("len").desc, col("ord").asc)
+    df.select(grp.cast("long").as("grp"), len.cast("long").as("len"),
+        ord.cast("long").as("ord"))
+      .withColumn("batch_id",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy(col("grp"), col("batch_id"))
+      .agg(count(lit(1)).as("n_rows"), max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .withColumn("pad_waste",
+        col("n_rows") * col("max_len") - col("sum_len"))
+  }
+
   // ---- stage 3: X1 event expansion + per-event argument tagging ----
 
   /** One row per decoded trigger (the reference's expand_sents,

@@ -201,4 +201,46 @@ object Triples {
       .unionByName(p.except(c).withColumn("op", lit("del")))
       .select("op", "subj", "pred", "obj")
   }
+
+  /** Shortest-hop transitive closure of a directed edge set — the KG
+    * inference step over temporal edges (BEFORE plus reversed AFTER):
+    * pairs the pairwise classifier never scored (or scored VAGUE and
+    * dropped, P6) become derived BEFORE facts with their inference depth.
+    *
+    * Semi-naive BFS, the distributed-iteration shape: each round joins
+    * only the FRONTIER (paths discovered last round) against the base
+    * edges, anti-joins away pairs already known (which also makes `hops`
+    * the shortest path length), and `localCheckpoint`s both frames so
+    * the plan stays flat instead of growing one join per iteration —
+    * the same lineage-truncation discipline as the pipeline snapshot.
+    * Work per round is one equi-join + one anti-join, both keyed shuffles
+    * AQE can re-plan; the frontier shrinks monotonically, and rounds are
+    * bounded by `maxHops` (temporal chains are sentence-local here, so
+    * the fixpoint arrives in a handful of rounds — the cap is a guard,
+    * not a truncation, and callers can assert convergence by checking no
+    * row carries hops == maxHops... which the spec does).
+    *
+    * Input: (s, o) string columns. Output: (s, o, hops). */
+  def transitiveClosure(edges: DataFrame, maxHops: Int = 12): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val base = edges.select(col("s"), col("o")).distinct().localCheckpoint()
+    var known = base.withColumn("hops", lit(1L)).localCheckpoint()
+    var frontier = known
+    var depth = 1
+    while (depth < maxHops && !frontier.isEmpty) {
+      val next = frontier.select(col("s"), col("o").as("mid"))
+        .join(base.select(col("s").as("mid"), col("o")), Seq("mid"))
+        .select(col("s"), col("o")).distinct()
+        .join(known.select("s", "o"), Seq("s", "o"), "left_anti")
+        .withColumn("hops", lit(depth + 1L))
+        .localCheckpoint()
+      if (next.isEmpty) { frontier = next }
+      else {
+        known = known.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      depth += 1
+    }
+    known
+  }
 }
