@@ -62,6 +62,10 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Unique memory-sink names for q56's streaming replay (one per call —
+    * memory sinks are session-registered tables). */
+  private val q56Counter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val GoldenCorpora =
     Seq("test_ace", "test_tbd", "dev_ace", "dev_tbd", "train_tbd")
 
@@ -1241,6 +1245,63 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    "q56_stream_window" -> ((s, dir) => {
+      // §2.9 watermark semantics made driver-checkable END-TO-END: a
+      // 3-micro-batch MemoryStream replay — (1) the full golden-synth
+      // corpus, each file stamped minute (idx % 37) so triples spread
+      // over eight 5-minute windows; (2) LATE rows (ts <= 9 min, windows
+      // long past the 10-min watermark) whose content is swapped with a
+      // neighbor file so ACCEPTING them would change counts — the
+      // watermark must drop them; (3) a sentinel 6 h ahead that pushes
+      // the watermark past every real window so append mode finalizes
+      // them all (the sentinel's own window stays open and never emits).
+      // The oracle re-derives the distinct windowed counts from the gold
+      // TSV with the same idx-derived stamping — so a bug in late-drop,
+      // dedup, window assignment, or finalization fails the hash.
+      import s.implicits._
+      import graft.streaming.StreamingKg
+      import graft.streaming.StreamingKg.StampedFile
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.OutputMode
+      val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+      val idxRe = "file(\\d+)".r
+      def idxOf(path: String): Long =
+        idxRe.findFirstMatchIn(path).map(_.group(1).toLong).getOrElse(0L)
+      def stamp(f: graft.model.SourceFile) = StampedFile(
+        new java.sql.Timestamp(base + (idxOf(f.path) % 37) * 60000L),
+        f.repo, f.path, f.commit, f.lang, f.content)
+      // golden-fixed corpus (like q45): 60 files — driver-side replay is
+      // the test-harness shape, not the production path (startFileSink)
+      val files = Synth.corpus(s, 60L, 6).collect()
+      val byIdx = files.map(f => idxOf(f.path) -> f).toMap
+      val batch1 = files.toSeq.map(stamp)
+      val late = files.toSeq.filter(f => idxOf(f.path) % 37 <= 9).map { f =>
+        val donor = byIdx((idxOf(f.path) + 1) % 60)
+        stamp(f).copy(lang = donor.lang, content = donor.content)
+      }
+      val sentinel = Seq(stamp(files.head).copy(
+        ts = new java.sql.Timestamp(base + 6L * 3600 * 1000),
+        path = "src/sentinel/file999999.md"))
+      val mem = MemoryStream[StampedFile](s)
+      val counts = StreamingKg.windowedDistinctTripleCounts(
+        StreamingKg.narrowTriples(s, mem.toDS()),
+        Seq("hasType", "hasDuration", "speculated", "hasEntity"))
+      val sinkName = s"q56sink_${q56Counter.incrementAndGet()}"
+      val q = counts.writeStream.format("memory").queryName(sinkName)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(batch1); q.processAllAvailable()
+        mem.addData(late); q.processAllAvailable()
+        mem.addData(sentinel); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sinkName)
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          date_format(col("window.end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+          col("pred"), col("n"))
+        .orderBy("window_start", "pred")
+    }),
+
     "kg_temporal_closure" -> ((s, dir) => {
       // KG inference over the composed pipeline output: temporal edges
       // (BEFORE plus reversed AFTER) lifted through the sameAs
@@ -2213,6 +2274,26 @@ object SparkEntry {
         "SELECT DISTINCT subj, pred, obj FROM gold " +
         "WHERE pred IN ('hasType', 'hasDuration', 'speculated', 'hasEntity') " +
         "ORDER BY subj, pred, obj"),
+
+    // q56: the windowed counts re-derived from gold with the same
+    // idx-derived stamping — minute = file idx % 37, window = 5-minute
+    // floor; DISTINCT triple per window (the stream dedups within the
+    // watermark), counts per (window, pred). Late/corrupted and sentinel
+    // rows appear ONLY on the Spark side — the watermark must erase them
+    // for the hash to match.
+    "q56_stream_window" ->
+      ("WITH gold AS (SELECT * FROM read_csv('/tmp/graft_gold/*/gold_triples.tsv', " +
+        "delim='\\t', header=true, all_varchar=true, filename=true) " +
+        "WHERE filename LIKE '%/n60_s6/%'), " +
+        "st AS (SELECT DISTINCT subj, pred, obj, " +
+        "  (CAST(regexp_extract(path, 'file(\\d+)', 1) AS BIGINT) % 37) // 5 * 5 AS wmin " +
+        "  FROM gold WHERE pred IN ('hasType','hasDuration','speculated','hasEntity')) " +
+        "SELECT strftime(TIMESTAMP '2026-01-01 00:00:00' + wmin * INTERVAL 1 MINUTE, " +
+        "    '%Y-%m-%d %H:%M:%S') AS window_start, " +
+        "  strftime(TIMESTAMP '2026-01-01 00:00:00' + (wmin + 5) * INTERVAL 1 MINUTE, " +
+        "    '%Y-%m-%d %H:%M:%S') AS window_end, " +
+        "  pred, COUNT(*) AS n " +
+        "FROM st GROUP BY wmin, pred ORDER BY window_start, pred"),
 
     // q46: the oracle computes the adversarial payload straight off the
     // parquet — chr(34)=", chr(10)=\n, chr(39)=' — so the compare is

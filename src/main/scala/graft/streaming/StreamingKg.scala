@@ -81,6 +81,26 @@ object StreamingKg {
       .groupBy(window(col("ts"), window_), col("pred"))
       .agg(count(lit(1)).as("n"))
 
+  /** Append-mode distinct windowed counts — the full watermark surface in
+    * one chain: predicate filter → watermark → streaming dedup
+    * (`dropDuplicatesWithinWatermark` on the triple key; duplicates of a
+    * file-scoped triple always share the file's event time, so the dedup
+    * is deterministic) → tumbling-window count per (window, pred). Two
+    * chained stateful operators, both state-bounded by the watermark:
+    * late rows beyond it are DROPPED by the window aggregate (no
+    * unbounded reprocessing at 10^12-file scale), and windows finalize
+    * (emit, in append mode) only once the watermark passes their end —
+    * exactly-once window rows downstream. */
+  def windowedDistinctTripleCounts(triples: Dataset[StampedTriple],
+      preds: Seq[String],
+      watermark: String = "10 minutes", window_ : String = "5 minutes"): DataFrame =
+    triples.toDF()
+      .filter(col("pred").isin(preds: _*))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("subj", "pred", "obj")
+      .groupBy(window(col("ts"), window_), col("pred"))
+      .agg(count(lit(1)).as("n"))
+
   /** Per-repo cumulative progress via flatMapGroupsWithState — the custom
     * stateful operator (KeyValueGroupedDataset), replacing the reference's
     * in-process running counters. Emits one updated row per repo per

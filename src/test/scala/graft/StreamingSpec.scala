@@ -185,4 +185,44 @@ class StreamingSpec extends AnyFunSuite {
     q2.awaitTermination(60000)
     assert(spark.read.parquet(s"$dir/out").count() == expected)
   }
+
+  test("append-mode windowed counts: late rows DROP, windows finalize on watermark") {
+    val mem = MemoryStream[StampedFile](spark)
+    val counts = StreamingKg.windowedDistinctTripleCounts(
+      StreamingKg.narrowTriples(spark, mem.toDS()),
+      Seq("hasType", "hasDuration", "speculated", "hasEntity"))
+    val q = counts.writeStream.format("memory").queryName("append_win_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: minutes 1 and 2 (window [00:00,05:00)) + minute 26 — the
+    // 10-minute watermark lands at 16:00, far past the first window
+    mem.addData(stamped(0, 1), stamped(1, 2), stamped(2, 26))
+    q.processAllAvailable()
+    // batch 2: a LATE row for the closed first window, content swapped so
+    // accepting it would change counts
+    val donor = Synth.sourceFile(5, 4)
+    mem.addData(stamped(3, 2).copy(lang = donor.lang, content = donor.content))
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    // batch 3: sentinel far ahead — finalizes the minute-26 window too
+    mem.addData(stamped(4, 2).copy(
+      ts = Timestamp.valueOf("2026-01-01 16:00:00"),
+      path = "src/sentinel/file999999.md"))
+    q.processAllAvailable()
+    q.stop()
+    assert(dropped > 0, "late rows must be dropped by the watermark")
+    val rows = spark.sql(
+      """SELECT date_format(window.start, 'HH:mm') AS ws, pred, n
+        |FROM append_win_out""".stripMargin)
+      .as[(String, String, Long)].collect()
+    // both real windows emitted; the sentinel window never finalizes
+    assert(rows.map(_._1).distinct.sorted.toSeq == Seq("10:00", "10:25"))
+    // counts equal the batch-side distinct derivation over batch-1 rows
+    val batch = StreamingKg.narrowTriples(spark,
+      Seq(stamped(0, 1), stamped(1, 2)).toDS())
+      .filter(t => Seq("hasType", "hasDuration", "speculated",
+        "hasEntity").contains(t.pred))
+      .map(t => (t.subj, t.pred, t.obj)).distinct().count()
+    assert(rows.filter(_._1 == "10:00").map(_._3).sum == batch)
+  }
 }
