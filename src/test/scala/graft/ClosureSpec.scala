@@ -43,6 +43,33 @@ class ClosureSpec extends AnyFunSuite {
     assert(full.map(_._3).max == 6L) // fixpoint well under the default cap
   }
 
+  test("random graphs: distributed closure == local BFS reference") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 8) {
+      val n = 12 + rnd.nextInt(10)
+      val edges = Seq.fill(2 * n)(
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}")).distinct
+      // local reference: BFS from every node over the adjacency map
+      val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val expected = scala.collection.mutable.Map.empty[(String, String), Long]
+      for (src <- edges.map(_._1).distinct) {
+        var frontier = adj(src).toSet
+        var d = 1L
+        val seen = scala.collection.mutable.Set.empty[String]
+        while (frontier.nonEmpty && d <= 12) {
+          frontier.foreach { v =>
+            if (!seen(v)) { seen += v; expected((src, v)) = d }
+          }
+          frontier = frontier.flatMap(v => adj.getOrElse(v, Nil))
+            .filterNot(seen)
+          d += 1
+        }
+      }
+      val got = close(edges).map(t => (t._1, t._2) -> t._3).toMap
+      assert(got == expected.toMap, s"trial $trial mismatch")
+    }
+  }
+
   test("pipeline closure converges under the cap on a real corpus") {
     val tri = Triples.fromFilesDistinctCommitted(spark,
       Synth.corpus(spark, 40L, 6))
