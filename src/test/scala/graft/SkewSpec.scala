@@ -79,4 +79,44 @@ class SkewSpec extends AnyFunSuite {
           s"${(viaBroadcast diff viaSalted).take(3)}")
     } finally spark.conf.unset("spark.graft.maxBroadcastRows")
   }
+
+  test("AQE splits a skewed shuffle-join partition at runtime (the no-salt fallback)") {
+    // The engine salts its own hot joins (saltedJoin above); everything
+    // ELSE relies on AQE's OptimizeSkewedJoin. Pin that the reliance is
+    // real: a 90%-one-key join, thresholds scaled to test size, must
+    // show a skew-split AQEShuffleRead in the executed plan AND return
+    // exactly the plain-join rows.
+    val cf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> cf.getOption(k))
+    try {
+      cf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      cf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      cf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      cf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val fact = spark.range(200000)
+        .select(when(col("id") % 10 < 9, lit("hot"))
+          .otherwise(concat(lit("k"), col("id") % 97)).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(200)
+        .select(concat(lit("k"), col("id")).as("k"), col("id").as("v"))
+        .unionByName(Seq(("hot", -1L)).toDF("k", "v"))
+      val joined = fact.join(dim, Seq("k"))
+      // materialize THIS frame's QueryExecution (count() would plan its
+      // own tree and leave joined's adaptive plan unexecuted)
+      val n = joined.queryExecution.toRdd.count()
+      assert(n == 200000L) // dim covers every fact key exactly once
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("AQEShuffleRead"), s"no AQE read in:\n$planStr")
+      assert(planStr.toLowerCase.contains("skew"),
+        s"no skew split in executed plan:\n$planStr")
+    } finally saved.foreach {
+      case (k, Some(v)) => cf.set(k, v)
+      case (k, None) => cf.unset(k)
+    }
+  }
 }
