@@ -227,19 +227,25 @@ object Triples {
     var known = base.withColumn("hops", lit(1L)).localCheckpoint()
     var frontier = known
     var depth = 1
-    while (depth < maxHops && !frontier.isEmpty) {
+    var done = false
+    while (depth < maxHops && !done) {
+      // each frontier is checkpointed ONCE; `known` is the union of those
+      // flat snapshots — one union node per round, no re-snapshot of the
+      // accumulated set (saves a materialization job per round; plan
+      // depth stays O(1), width grows by one LogicalRDD per round,
+      // bounded by maxHops)
       val next = frontier.select(col("s"), col("o").as("mid"))
         .join(base.select(col("s").as("mid"), col("o")), Seq("mid"))
         .select(col("s"), col("o")).distinct()
         .join(known.select("s", "o"), Seq("s", "o"), "left_anti")
         .withColumn("hops", lit(depth + 1L))
         .localCheckpoint()
-      if (next.isEmpty) { frontier = next }
+      if (next.isEmpty) done = true
       else {
-        known = known.unionByName(next).localCheckpoint()
+        known = known.unionByName(next)
         frontier = next
+        depth += 1
       }
-      depth += 1
     }
     known
   }
