@@ -1245,6 +1245,18 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    "q57_corpus_stats" -> ((s, dir) => {
+      // Corpus statistics: EXACT interpolated quantiles + distinct
+      // counts per language (the analytics a curation pipeline charts
+      // per shard). Oracle: DuckDB quantile_cont — the same
+      // index = p*(n-1) linear interpolation as Spark's percentile.
+      // The sketch twins (approx_percentile / approx_count_distinct)
+      // are graded against these exact answers in OpsSpec.
+      TextAnalysis.corpusStats(
+        TextAnalysis.withTokenCounts(t(s, dir, "documents")))
+        .orderBy("lang")
+    }),
+
     "q56_stream_window" -> ((s, dir) => {
       // §2.9 watermark semantics made driver-checkable END-TO-END: a
       // 3-micro-batch MemoryStream replay — (1) the full golden-synth
@@ -2274,6 +2286,22 @@ object SparkEntry {
         "SELECT DISTINCT subj, pred, obj FROM gold " +
         "WHERE pred IN ('hasType', 'hasDuration', 'speculated', 'hasEntity') " +
         "ORDER BY subj, pred, obj"),
+
+    // q57: quantile_cont is DuckDB's continuous interpolated quantile —
+    // the same definition as Spark's exact percentile; both sides round
+    // to 4 dp. Length expression identical to q16's ws_tokens.
+    "q57_corpus_stats" ->
+      """WITH lens AS (SELECT lang,
+        |    CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |         ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END AS BIGINT) AS len
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT len) AS n_distinct_len,
+        |  MAX(len) AS max_len,
+        |  ROUND(quantile_cont(len, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(len, 0.9), 4) AS p90,
+        |  ROUND(quantile_cont(len, 0.99), 4) AS p99
+        |FROM lens GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q56: the windowed counts re-derived from gold with the same
     // idx-derived stamping — minute = file idx % 37, window = 5-minute
