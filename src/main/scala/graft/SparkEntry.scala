@@ -1245,6 +1245,28 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    "q58_integrity_audit" -> ((s, dir) => {
+      // The publishing data-quality gate (Triples.integrityAudit) on the
+      // composed pipeline output, tested the q27 way: plant one known
+      // violation per check alongside the (clean) pipeline triples — the
+      // audit must find EXACTLY the planted set, and the oracle
+      // re-derives every check in SQL over gold ∪ the same plants. A
+      // pipeline that ever emits a violating triple fails the hash.
+      import s.implicits._
+      val planted = Seq(
+        ("r9/p9#L1:S0:T1", "BEFORE", "r9/p9#L2:S0:T3"), // cross-sentence
+        ("r9/p9#L1:S0:T1", "hasDuration", "centuries"), // bad class
+        ("r9/p9#L1:S0:T1", "speculated", "maybe"),      // bad flag
+        ("x1", "sameAs", "x2"),                          // target is a
+        ("x2", "sameAs", "x3"),                          //   source → flag
+        ("r9/p9", "hasEntity", "ALIEN:zork")             // bad label
+      ).toDF("subj", "pred", "obj")
+      Triples.integrityAudit(
+        triplesFor(s, dir).select("subj", "pred", "obj")
+          .unionByName(planted))
+        .orderBy("violation", "subj", "pred", "obj")
+    }),
+
     "q57_corpus_stats" -> ((s, dir) => {
       // Corpus statistics: EXACT interpolated quantiles + distinct
       // counts per language (the analytics a curation pipeline charts
@@ -2286,6 +2308,41 @@ object SparkEntry {
         "SELECT DISTINCT subj, pred, obj FROM gold " +
         "WHERE pred IN ('hasType', 'hasDuration', 'speculated', 'hasEntity') " +
         "ORDER BY subj, pred, obj"),
+
+    // q58: every integrity check re-derived in SQL over gold ∪ the same
+    // planted violations; vocab literals mirror Ontology (DurationClasses,
+    // EntTypes, TempRel labels minus VAGUE/NONE).
+    "q58_integrity_audit" ->
+      (goldCte +
+        """, planted(subj, pred, obj) AS (VALUES
+          |  ('r9/p9#L1:S0:T1', 'BEFORE', 'r9/p9#L2:S0:T3'),
+          |  ('r9/p9#L1:S0:T1', 'hasDuration', 'centuries'),
+          |  ('r9/p9#L1:S0:T1', 'speculated', 'maybe'),
+          |  ('x1', 'sameAs', 'x2'), ('x2', 'sameAs', 'x3'),
+          |  ('r9/p9', 'hasEntity', 'ALIEN:zork')),
+          |all_t AS (SELECT subj, pred, obj FROM gold
+          |          UNION ALL SELECT subj, pred, obj FROM planted),
+          |v AS (
+          |  SELECT 'rel_cross_sentence' AS violation, subj, pred, obj FROM all_t
+          |  WHERE pred IN ('BEFORE','AFTER','SIMULTANEOUS','INCLUDES','IS_INCLUDED')
+          |    AND regexp_replace(subj, ':T\d+$', '') <> regexp_replace(obj, ':T\d+$', '')
+          |  UNION ALL
+          |  SELECT 'bad_duration_class', subj, pred, obj FROM all_t
+          |  WHERE pred = 'hasDuration' AND obj NOT IN
+          |    ('inst','secs','mins','hours','days','weeks','months','years','decades','cents','forever')
+          |  UNION ALL
+          |  SELECT 'bad_speculation_flag', subj, pred, obj FROM all_t
+          |  WHERE pred = 'speculated' AND obj <> 'true'
+          |  UNION ALL
+          |  SELECT 'sameas_not_flattened', t.subj, t.pred, t.obj FROM all_t t
+          |  WHERE t.pred = 'sameAs'
+          |    AND t.obj IN (SELECT subj FROM all_t WHERE pred = 'sameAs')
+          |  UNION ALL
+          |  SELECT 'bad_entity_label', subj, pred, obj FROM all_t
+          |  WHERE pred = 'hasEntity' AND split_part(obj, ':', 1) NOT IN
+          |    ('ORG','WEA','VEH','GPE','LOC','FAC','PER'))
+          |SELECT violation, subj, pred, obj FROM v
+          |ORDER BY violation, subj, pred, obj""".stripMargin),
 
     // q57: quantile_cont is DuckDB's continuous interpolated quantile —
     // the same definition as Spark's exact percentile; both sides round

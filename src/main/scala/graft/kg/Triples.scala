@@ -202,6 +202,51 @@ object Triples {
       .select("op", "subj", "pred", "obj")
   }
 
+  /** KG integrity audit — the data-quality gate a publishing pipeline
+    * runs before committing a snapshot. Every check is a scan projection
+    * or one semi-join (no windows, no driver actions), so the audit
+    * costs one pass at any scale; violations come back as rows
+    * (violation, subj, pred, obj), never as silent drops — the
+    * quarantine discipline applied to the OUTPUT side.
+    *
+    * Checks (each an invariant the engine guarantees by construction):
+    *   - rel_cross_sentence: temporal relation endpoints must share the
+    *     sentence key (J4 is sentence-bounded; U1 injects into the same
+    *     sentence) — the ':T<start>' suffix stripped from both ids.
+    *   - bad_duration_class: hasDuration objects come from the 11-class
+    *     vocabulary (Ontology.DurationClasses).
+    *   - bad_speculation_flag: speculated is a bare 'true' marker.
+    *   - sameas_not_flattened: canonical maps are flat — a sameAs
+    *     TARGET never appears as a sameAs SOURCE (left-semi join).
+    *   - bad_entity_label: hasEntity objects are 'TYPE:text' with TYPE
+    *     from Ontology.EntTypes. */
+  def integrityAudit(triples: DataFrame): DataFrame = {
+    import graft.tag.Ontology
+    val t = triples.select("subj", "pred", "obj")
+    val rels = Ontology.TempRelLabels.filter(l => l != "VAGUE" && l != "NONE")
+    val sentOf = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, ":T\\d+$", "")
+    val v1 = t.filter(col("pred").isin(rels: _*) &&
+        sentOf(col("subj")) =!= sentOf(col("obj")))
+      .withColumn("violation", lit("rel_cross_sentence"))
+    val v2 = t.filter(col("pred") === "hasDuration" &&
+        !col("obj").isin(Ontology.DurationClasses: _*))
+      .withColumn("violation", lit("bad_duration_class"))
+    val v3 = t.filter(col("pred") === "speculated" && col("obj") =!= "true")
+      .withColumn("violation", lit("bad_speculation_flag"))
+    val sameAsSources = t.filter(col("pred") === "sameAs")
+      .select(col("subj").as("obj")).distinct()
+    val v4 = t.filter(col("pred") === "sameAs")
+      .join(sameAsSources, Seq("obj"), "left_semi")
+      .select("subj", "pred", "obj")
+      .withColumn("violation", lit("sameas_not_flattened"))
+    val v5 = t.filter(col("pred") === "hasEntity" &&
+        !split(col("obj"), ":").getItem(0).isin(Ontology.EntTypes: _*))
+      .withColumn("violation", lit("bad_entity_label"))
+    v1.unionByName(v2).unionByName(v3).unionByName(v4).unionByName(v5)
+      .select("violation", "subj", "pred", "obj")
+  }
+
   /** Shortest-hop transitive closure of a directed edge set — the KG
     * inference step over temporal edges (BEFORE plus reversed AFTER):
     * pairs the pairwise classifier never scored (or scored VAGUE and
