@@ -25,7 +25,8 @@ object PlanAudit {
       "q40_argument_spans", "q41_align_inject", "q42_duration_speculation",
       "q43_ner_eval", "q51_sql_functions", "q52_bucketed_join",
       "q53_partition_pruned", "q54_incremental_neardup",
-      "kg_snapshot_delta", "q55_batch_plan", "kg_temporal_closure")
+      "kg_snapshot_delta", "q55_batch_plan", "kg_temporal_closure",
+      "q57_corpus_stats", "q58_integrity_audit")
     val sb = new StringBuilder
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)
