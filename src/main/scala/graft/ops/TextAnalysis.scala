@@ -127,6 +127,89 @@ object TextAnalysis {
     docs.withColumn("fingerprint",
       RollingFingerprint.rolling_fingerprint(col(textCol), window))
 
+  // ---- repetition signals (Gopher-style quality rules) ----
+
+  /** Per-document repetition signals — the Gopher/MassiveText-family
+    * quality rules adapted to single-line documents (word n-grams
+    * instead of lines): distinct-unigram fraction, top-bigram occurrence
+    * fraction, and the fraction of trigram occurrences that sit in a
+    * repeated trigram. Flags use INTEGER comparisons (count*k vs total)
+    * so engine and oracle can never disagree on a float boundary.
+    *
+    * Scale shape: each document is ONE row, so the whole computation is
+    * a narrow per-row expression — zero shuffles, no explode+groupBy
+    * round trip (which would shuffle every gram of a 100 TB corpus just
+    * to count within-row runs). Run statistics come from sorting each
+    * row's gram array and folding over adjacent-equal runs
+    * (`aggregate`) — O(g log g) per row in the gram count, independent
+    * of corpus size. The HOF fold evaluates interpreted, but the stage
+    * stays narrow and pipelined; the shuffle it avoids costs more than
+    * codegen saves.
+    */
+  def withRepetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    val n = size(toks)
+    // contiguous (non-distinct) word k-grams, empty below k tokens
+    def grams(k: Int): Column =
+      when(n >= k,
+        transform(sequence(lit(1), n - (k - 1)),
+          i => array_join(slice(toks, i, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))
+    // occurrence count of the most frequent element = longest equal run
+    // in the sorted array (fold state: previous value, current run, best)
+    def topCount(arr: Column): Column =
+      aggregate(array_sort(arr),
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+    // occurrences belonging to runs of length > 1 (fold closes each run
+    // as it ends; the finish lambda closes the last one)
+    def dupCount(arr: Column): Column =
+      aggregate(array_sort(arr),
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("dup")),
+        (acc, x) => {
+          val closed = acc.getField("dup") +
+            when(x === acc.getField("prev"), lit(0))
+              .otherwise(when(acc.getField("run") > 1, acc.getField("run"))
+                .otherwise(lit(0)))
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"), closed.as("dup"))
+        },
+        acc => acc.getField("dup") +
+          when(acc.getField("run") > 1, acc.getField("run")).otherwise(lit(0)))
+
+    val res = docs
+      .withColumn("n_tokens", n.cast("long"))
+      .withColumn("_nd", size(array_distinct(toks)))
+      .withColumn("_bg", grams(2))
+      .withColumn("_tg", grams(3))
+      .withColumn("_bt", topCount(col("_bg")))
+      .withColumn("_bn", size(col("_bg")))
+      .withColumn("_td", dupCount(col("_tg")))
+      .withColumn("_tn", size(col("_tg")))
+    res
+      .withColumn("distinct_frac",
+        when(n === 0, lit(0.0))
+          .otherwise(round(col("_nd") / n.cast("double"), 4)))
+      .withColumn("top_bigram_frac",
+        when(col("_bn") === 0, lit(0.0))
+          .otherwise(round(col("_bt") / col("_bn").cast("double"), 4)))
+      .withColumn("dup_trigram_frac",
+        when(col("_tn") === 0, lit(0.0))
+          .otherwise(round(col("_td") / col("_tn").cast("double"), 4)))
+      .withColumn("low_diversity", (col("_nd") * 2 < n).cast("int"))
+      .withColumn("repetitive",
+        (col("_bt") * 10 > col("_bn") || col("_td") * 20 > col("_tn"))
+          .cast("int"))
+      .drop("_nd", "_bg", "_tg", "_bt", "_bn", "_td", "_tn")
+  }
+
   // ---- PII scrubbing (training-data hygiene) ----
 
   /** Patterns chosen from the Java-regex ∩ RE2 common subset (no

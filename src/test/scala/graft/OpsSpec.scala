@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, ImageCodec, Multimodal, RollingFingerprint, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, ImageCodec, Multimodal, RollingFingerprint, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators: dedup (exact / MinHash-LSH / SimHash /
   * n-gram Jaccard / embedding-cosine), ANN similarity search, text
@@ -659,5 +659,98 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.forall(_.frame_idx % 2 == 0))
     val vids = media.filter(_.kind == "video").count()
     assert(frames.map(_.media_id).distinct.length == vids)
+  }
+
+  test("decontamination: planted eval 8-gram flags the doc; clean + short docs don't") {
+    // eval doc shares one exact 8-gram window with training doc 10
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val train = Seq(
+      (10L, s"prefix words here $shared and then a distinct suffix tail"),
+      (11L, "totally clean training document with no overlapping gram content at all whatsoever"),
+      (12L, "too short to gram")) // < 8 tokens -> n_grams = 0
+      .toDF("doc_id", "text")
+    val eval_ = Seq((0L, s"benchmark question text $shared answer choice")).toDF("doc_id", "text")
+    val rep = Decontaminate.overlapReport(train, eval_, n = 8)
+      .orderBy("doc_id").collect()
+    assert(rep.length == 3)
+    val byId = rep.map(r => r.getLong(0) -> r).toMap
+    assert(byId(10L).getAs[Int]("contaminated") == 1)
+    assert(byId(10L).getAs[Long]("eval_hits") == 1L) // exactly the planted window
+    assert(byId(11L).getAs[Int]("contaminated") == 0)
+    assert(byId(11L).getAs[Long]("eval_hits") == 0L)
+    assert(byId(12L).getAs[Long]("n_grams") == 0L)
+    assert(byId(12L).getAs[Double]("overlap_frac") == 0.0)
+    // overlap_frac = hits / distinct grams of the doc
+    val g10 = byId(10L).getAs[Long]("n_grams").toDouble
+    assert(math.abs(byId(10L).getAs[Double]("overlap_frac") - math.rint(1.0 / g10 * 1e4) / 1e4) < 1e-9)
+  }
+
+  test("repetition signals: fold-based run counts match brute-force Scala on each row") {
+    // healthy prose must be LONG enough that an all-distinct top bigram
+    // (count 1) sits under the 10% threshold — short docs flag trivially
+    val prose = "the quick brown fox jumps over a lazy dog while seventeen " +
+      "curious students watched from their classroom window and quietly " +
+      "debated whether animals ever notice being observed at all"
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam"),                    // max repetition
+      (1L, prose),                                              // healthy prose
+      (2L, "a b a b a b a b a b"),                              // bigram cycle
+      (3L, "one"),                                              // no bigrams/trigrams
+      (4L, "")) // empty
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.withRepetitionSignals(docs)
+      .select("doc_id", "n_tokens", "distinct_frac", "top_bigram_frac",
+        "dup_trigram_frac", "low_diversity", "repetitive")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def brute(text: String) = {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      def grams(k: Int) = if (t.length >= k) t.sliding(k).map(_.mkString(" ")).toSeq else Seq.empty
+      val (bgs, tgs) = (grams(2), grams(3))
+      val bt = if (bgs.isEmpty) 0 else bgs.groupBy(identity).values.map(_.size).max
+      val td = tgs.groupBy(identity).values.map(_.size).filter(_ > 1).sum
+      (t.length, t.distinct.length, bt, bgs.length, td, tgs.length)
+    }
+    for ((id, text) <- Seq((0L, "spam spam spam spam spam spam"), (1L, prose),
+        (2L, "a b a b a b a b a b"), (3L, "one"), (4L, ""))) {
+      val (n, nd, bt, bn, td, tn) = brute(text)
+      val r = got(id)
+      assert(r.getLong(1) == n.toLong, s"doc $id n_tokens")
+      def rnd(x: Double) = math.rint(x * 1e4) / 1e4
+      assert(r.getDouble(2) == (if (n == 0) 0.0 else rnd(nd.toDouble / n)), s"doc $id distinct_frac")
+      assert(r.getDouble(3) == (if (bn == 0) 0.0 else rnd(bt.toDouble / bn)), s"doc $id top_bigram_frac")
+      assert(r.getDouble(4) == (if (tn == 0) 0.0 else rnd(td.toDouble / tn)), s"doc $id dup_trigram_frac")
+      assert(r.getInt(5) == (if (nd * 2 < n) 1 else 0), s"doc $id low_diversity")
+      assert(r.getInt(6) == (if (bt * 10 > bn || td * 20 > tn) 1 else 0), s"doc $id repetitive")
+    }
+    // the planted-pathology docs flag; healthy prose doesn't
+    assert(got(0L).getInt(6) == 1 && got(2L).getInt(6) == 1)
+    assert(got(1L).getInt(6) == 0 && got(1L).getInt(5) == 0)
+  }
+
+  test("int8 quantization: values bounded, zero-safe, self is rank-1, recall vs float high") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    val q = Similarity.quantizeInt8(emb)
+    // bounds: every component in [-127, 127]; max-|x| component hits ±127
+    val flat = q.select(explode(col("qvec"))).as[Int].collect()
+    assert(flat.forall(v => v >= -127 && v <= 127))
+    assert(flat.exists(v => v == 127 || v == -127))
+    // zero vector quantizes to zeros (no NaN from 0-division)
+    val z = Similarity.quantizeInt8(
+      Seq((999L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+      .select("qvec").as[Seq[Int]].head()
+    assert(z.forall(_ == 0))
+    // self-query: vec 0 is its own nearest neighbor at qcos 1.0
+    val qrow = q.filter(col("vec_id") === 0).select("qvec").as[Seq[Int]].head()
+    val top = Similarity.quantizedTopK(q, qrow, 10).collect()
+    assert(top.head.getLong(0) == 0L && top.head.getDouble(1) == 1.0)
+    // quantized top-10 overlaps float brute-force top-10 heavily (int8
+    // keeps ~2 decimal digits of each component; ordering is stable for
+    // non-adversarial gaps)
+    val query = emb.filter(col("vec_id") === 0).select("embedding").as[Seq[Float]].head()
+    val bf = Similarity.bruteForceTopK(emb, query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val quant = top.map(_.getLong(0)).toSet
+    assert(quant.intersect(bf).size >= 8, s"recall ${quant.intersect(bf).size}/10")
   }
 }
