@@ -1280,6 +1280,15 @@ object SparkEntry {
       Similarity.quantizedTopK(q, qrow, 10)
     }),
 
+    "q62_freq_quality" -> ((s, dir) =>
+      // corpus-frequency quality scoring (quantized CCNet-style LM
+      // filter): train-on-self unigram counts, score by hapax/rare
+      // occurrence fractions + integer-quantized self-information —
+      // all-exact math, so this perplexity-family filter carries a
+      // full hash oracle (a float log-sum never could).
+      TextAnalysis.frequencyQuality(t(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     "q58_integrity_audit" -> ((s, dir) => {
       // The publishing data-quality gate (Triples.integrityAudit) on the
       // composed pipeline output, tested the q27 way: plant one known
@@ -2438,6 +2447,38 @@ object SparkEntry {
         |top AS (SELECT vec_id, qcos FROM sc ORDER BY qcos DESC, vec_id LIMIT 10)
         |SELECT vec_id, ROUND(qcos, 4) AS qcos
         |FROM top ORDER BY top.qcos DESC, vec_id""".stripMargin,
+
+    // q62: the frequency table, bit-lengths, and per-doc sums re-derived
+    // relationally; bin()-length integer log2 is identical in both
+    // engines (verified: bin(5)='101' in Spark and DuckDB), fractions
+    // divide the same exact integers, flags are integer comparisons.
+    "q62_freq_quality" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pd AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS occ
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM w) GROUP BY 1, 2),
+        |vocab AS (SELECT tok, SUM(occ)::BIGINT AS cnt FROM pd GROUP BY 1),
+        |tot AS (SELECT SUM(cnt)::BIGINT AS n_total FROM vocab),
+        |sc AS (SELECT pd.doc_id,
+        |    SUM(occ)::BIGINT AS n_tokens,
+        |    SUM(CASE WHEN cnt = 1 THEN occ ELSE 0 END)::BIGINT AS hapax_hits,
+        |    SUM(CASE WHEN cnt <= 5 THEN occ ELSE 0 END)::BIGINT AS rare_hits,
+        |    SUM(occ * (length(bin(n_total)) - length(bin(cnt))))::BIGINT AS sum_bits
+        |  FROM pd JOIN vocab USING (tok), tot GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.n_tokens, 0)::BIGINT AS n_tokens,
+        |  CASE WHEN COALESCE(sc.n_tokens, 0) = 0 THEN 0.0
+        |       ELSE ROUND(sc.hapax_hits::DOUBLE / sc.n_tokens, 4) END AS hapax_frac,
+        |  CASE WHEN COALESCE(sc.n_tokens, 0) = 0 THEN 0.0
+        |       ELSE ROUND(sc.rare_hits::DOUBLE / sc.n_tokens, 4) END AS rare_frac,
+        |  CASE WHEN COALESCE(sc.n_tokens, 0) = 0 THEN 0.0
+        |       ELSE ROUND(sc.sum_bits::DOUBLE / sc.n_tokens, 4) END AS avg_bits,
+        |  CASE WHEN COALESCE(sc.n_tokens, 0) > 0
+        |         AND COALESCE(sc.rare_hits, 0) * 10 >= sc.n_tokens
+        |       THEN 1 ELSE 0 END AS noisy
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q58: every integrity check re-derived in SQL over gold ∪ the same
     // planted violations; vocab literals mirror Ontology (DurationClasses,

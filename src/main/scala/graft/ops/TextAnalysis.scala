@@ -210,6 +210,82 @@ object TextAnalysis {
       .drop("_nd", "_bg", "_tg", "_bt", "_bn", "_td", "_tn")
   }
 
+  // ---- corpus-frequency quality scoring (CCNet-style LM filter) ----
+
+  /** Per-document corpus-frequency quality report — the exactly-
+    * reproducible quantized analog of CCNet-style LM-perplexity
+    * filtering: train a unigram frequency table on the corpus itself,
+    * then score each document by how surprising its tokens are under
+    * that table. Output per doc: `n_tokens`, `hapax_frac` (fraction of
+    * token OCCURRENCES whose corpus count is 1 — misspellings, garbage,
+    * boilerplate ids), `rare_frac` (count <= rareMax), `avg_bits`
+    * (mean quantized self-information: `bitlen(N) - bitlen(count)` per
+    * occurrence, where `bitlen(c) = length(bin(c))` — INTEGER log2, so
+    * the score is exact integer math divided once at the end; a float
+    * `sum(log p)` would drift across engines/accumulation orders and
+    * could never carry a hash oracle), and `noisy` (rare_frac >= 0.1 as
+    * an integer comparison).
+    *
+    * Scale shape: two corpus passes total — the honest minimum for a
+    * train-then-score filter (CCNet also trains, then scores). Pass 1
+    * ("train") is the canonical map-side-combine token count, so vocab
+    * size tracks the token DOMAIN (Heaps' law), not corpus size. Pass 2
+    * scores on (doc, token)-DISTINCT rows — the hottest token ("the")
+    * contributes at most ONE row per document, the same key-cardinality
+    * class as the q13 gram joins — and hot keys fall to the AQE
+    * skew-join fallback already pinned for this session. The global
+    * total N comes from a narrow scan-and-sum (no explode). In the
+    * one-shot declarative form the corpus text is read three times
+    * (train, score, N); at production scale the trained vocab is the
+    * MODEL — commit it to parquet once and join the scoring pass
+    * against the stored table (the S8 model-as-broadcast pattern),
+    * which also makes train and score separable runs. */
+  def frequencyQuality(docs: DataFrame, rareMax: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    val exploded = docs.select(col(idCol), explode(toks).as("tok"))
+    // per-doc combine: one row per (doc, token) with its in-doc count —
+    // the scoring join below never sees occurrence-level rows
+    val perDoc = exploded
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("occ"))
+    // "train": the canonical map-side-combine token count — one pass
+    val vocab = exploded.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // self-information needs the GLOBAL total N, but deriving it here
+    // would plan a third corpus pass; instead carry bitlen(cnt) through
+    // the per-doc aggregate and recover N afterwards from the SCORED
+    // frame (one row per doc):  sum_bits = bitlen(N)*n_tokens - Σ occ*bitlen(cnt)
+    val scored = perDoc
+      .join(vocab, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("occ").as("n_tokens"),
+        sum(when(col("cnt") === 1, col("occ")).otherwise(0L)).as("hapax_hits"),
+        sum(when(col("cnt") <= rareMax, col("occ")).otherwise(0L)).as("rare_hits"),
+        sum(col("occ") * length(bin(col("cnt"))).cast("long")).as("cnt_bits"))
+    // global total N via its own NARROW subtree (sum of per-row token
+    // counts: scan + partial agg, no explode/shuffle) — deriving it from
+    // `scored` or `vocab` would re-plan the corpus-scale aggregate tree
+    // (Catalyst has no cross-branch subtree reuse when pruning differs)
+    val totals = docs.select(sum(size(toks).cast("long")).as("n_total"))
+    def frac(hits: Column, n: Column): Column =
+      when(n === 0, lit(0.0)).otherwise(round(hits / n.cast("double"), 4))
+    val nTok = coalesce(col("n_tokens"), lit(0L))
+    val sumBits = length(bin(col("n_total"))).cast("long") * nTok -
+      coalesce(col("cnt_bits"), lit(0L))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col(idCol),
+        nTok.as("n_tokens"),
+        frac(coalesce(col("hapax_hits"), lit(0L)), nTok).as("hapax_frac"),
+        frac(coalesce(col("rare_hits"), lit(0L)), nTok).as("rare_frac"),
+        frac(sumBits, nTok).as("avg_bits"),
+        (coalesce(col("rare_hits"), lit(0L)) * 10 >= nTok && nTok > 0)
+          .cast("int").as("noisy"))
+  }
+
   // ---- PII scrubbing (training-data hygiene) ----
 
   /** Patterns chosen from the Java-regex ∩ RE2 common subset (no

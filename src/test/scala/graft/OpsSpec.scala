@@ -727,6 +727,41 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L).getInt(6) == 0 && got(1L).getInt(5) == 0)
   }
 
+  test("frequency quality: engine matches brute-force Scala; planted garbage flags noisy") {
+    val clean = "the cat sat on the mat while the dog slept near the door"
+    val noise = "xqzkw vbnmp qwerty zxcvb asdfgh hjklpo uiopas dfghjk"
+    // rarity is corpus-relative: replicate the clean doc past rareMax=5
+    // occurrences so its vocabulary actually counts as common
+    val texts: Map[Long, String] =
+      (0L to 6L).map(_ -> clean).toMap + (7L -> noise) + (8L -> "")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val got = TextAnalysis.frequencyQuality(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val allToks = texts.values.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val vocab = allToks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nTotal = allToks.size.toLong
+    def bitlen(c: Long) = java.lang.Long.toBinaryString(c).length
+    for ((id, text) <- texts) {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val n = t.size.toLong
+      val hapax = t.count(w => vocab(w) == 1L).toLong
+      val rare = t.count(w => vocab(w) <= 5L).toLong
+      val bits = t.map(w => (bitlen(nTotal) - bitlen(vocab(w))).toLong).sum
+      def rnd(x: Double) = math.rint(x * 1e4) / 1e4
+      val r = got(id)
+      assert(r.getLong(1) == n, s"doc $id n_tokens")
+      assert(r.getDouble(2) == (if (n == 0) 0.0 else rnd(hapax.toDouble / n)), s"doc $id hapax")
+      assert(r.getDouble(3) == (if (n == 0) 0.0 else rnd(rare.toDouble / n)), s"doc $id rare")
+      assert(r.getDouble(4) == (if (n == 0) 0.0 else rnd(bits.toDouble / n)), s"doc $id bits")
+      assert(r.getInt(5) == (if (n > 0 && rare * 10 >= n) 1 else 0), s"doc $id noisy")
+    }
+    // the garbage doc is all-hapax and flags; the common clean doc doesn't
+    assert(got(7L).getInt(5) == 1 && got(7L).getDouble(2) == 1.0)
+    assert(got(0L).getInt(5) == 0)
+    // rare tokens carry MORE bits than common ones (the LM-filter signal)
+    assert(got(7L).getDouble(4) > got(0L).getDouble(4))
+  }
+
   test("int8 quantization: values bounded, zero-safe, self is rank-1, recall vs float high") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200)
