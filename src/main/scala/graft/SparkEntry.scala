@@ -1280,6 +1280,24 @@ object SparkEntry {
       Similarity.quantizedTopK(q, qrow, 10)
     }),
 
+    "kg_bgp" -> ((s, dir) => {
+      // the downstream KG query surface: a 3-pattern conjunctive query
+      // (SPARQL BGP) over the composed pipeline's committed triple set —
+      // "temporally ordered event pairs with both their ACE types", the
+      // typed event-chain view a KG consumer actually asks for (path +
+      // star shape: one path edge, two star lookups). Compiled by Bgp to
+      // pushed pred-filters + equi-joins on the shared variables; oracle
+      // is the same conjunction as SQL self-joins over the independent
+      // gold triple set.
+      import graft.kg.Bgp, Bgp.TriplePattern
+      Bgp.matchPatterns(triplesFor(s, dir), Seq(
+        TriplePattern("?e1", "BEFORE", "?e2"),
+        TriplePattern("?e1", "hasType", "?t1"),
+        TriplePattern("?e2", "hasType", "?t2")))
+        .select("e1", "t1", "e2", "t2")
+        .orderBy("e1", "e2")
+    }),
+
     "q62_freq_quality" -> ((s, dir) =>
       // corpus-frequency quality scoring (quantized CCNet-style LM
       // filter): train-on-self unigram counts, score by hapax/rare
@@ -2447,6 +2465,18 @@ object SparkEntry {
         |top AS (SELECT vec_id, qcos FROM sc ORDER BY qcos DESC, vec_id LIMIT 10)
         |SELECT vec_id, ROUND(qcos, 4) AS qcos
         |FROM top ORDER BY top.qcos DESC, vec_id""".stripMargin,
+
+    // kg_bgp: the identical conjunction as SQL self-joins over the gold
+    // triple set (bag semantics over a set store on both sides — join
+    // multiplicity must agree row-for-row)
+    "kg_bgp" ->
+      (goldCte +
+        """SELECT b.subj AS e1, t1.obj AS t1, b.obj AS e2, t2.obj AS t2
+          |FROM gold b
+          |JOIN gold t1 ON t1.subj = b.subj AND t1.pred = 'hasType'
+          |JOIN gold t2 ON t2.subj = b.obj AND t2.pred = 'hasType'
+          |WHERE b.pred = 'BEFORE'
+          |ORDER BY e1, e2""".stripMargin),
 
     // q62: the frequency table, bit-lengths, and per-doc sums re-derived
     // relationally; bin()-length integer log2 is identical in both

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kg.Bgp
+import graft.kg.Bgp.TriplePattern
+
+/** BGP conjunctive-query matching over a hand-built triple set: variable
+  * binding, constant filters, shared-variable joins, within-pattern
+  * repeated variables, and bag multiplicity. */
+class BgpSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // a tiny KG: events a,b,c ordered a<b<c; entities; one self-loop node
+  def kg = Seq(
+    ("a", "BEFORE", "b"),
+    ("b", "BEFORE", "c"),
+    ("a", "BEFORE", "c"),
+    ("a", "hasEntity", "alice"),
+    ("b", "hasEntity", "alice"),
+    ("c", "hasEntity", "bob"),
+    ("a", "hasType", "Conflict:Attack"),
+    ("b", "hasType", "Movement:Transport"),
+    ("loop", "sameAs", "loop")
+  ).toDF("subj", "pred", "obj")
+
+  test("single pattern: constants filter, variables project in order") {
+    val r = Bgp.matchPatterns(kg, Seq(TriplePattern("?x", "BEFORE", "?y")))
+    assert(r.columns.toSeq == Seq("x", "y"))
+    assert(r.as[(String, String)].collect().toSet ==
+      Set(("a", "b"), ("b", "c"), ("a", "c")))
+    val c = Bgp.matchPatterns(kg, Seq(TriplePattern("a", "BEFORE", "?y")))
+    assert(c.columns.toSeq == Seq("y"))
+    assert(c.as[String].collect().toSet == Set("b", "c"))
+  }
+
+  test("conjunction joins on shared variables") {
+    // ordered pairs sharing an entity: only (a,b) via alice
+    val r = Bgp.matchPatterns(kg, Seq(
+      TriplePattern("?e1", "BEFORE", "?e2"),
+      TriplePattern("?e1", "hasEntity", "?ent"),
+      TriplePattern("?e2", "hasEntity", "?ent")))
+    assert(r.select("e1", "e2", "ent").as[(String, String, String)]
+      .collect().toSet == Set(("a", "b", "alice")))
+    // 2-hop chain: (?x BEFORE ?y)(?y BEFORE ?z) -> a,b,c
+    val chain = Bgp.matchPatterns(kg, Seq(
+      TriplePattern("?x", "BEFORE", "?y"), TriplePattern("?y", "BEFORE", "?z")))
+    assert(chain.select("x", "y", "z").as[(String, String, String)]
+      .collect().toSet == Set(("a", "b", "c")))
+  }
+
+  test("repeated variable within a pattern = within-row equality") {
+    val r = Bgp.matchPatterns(kg, Seq(TriplePattern("?n", "sameAs", "?n")))
+    assert(r.columns.toSeq == Seq("n"))
+    assert(r.as[String].collect().toSeq == Seq("loop"))
+  }
+
+  test("patterns with no shared variable cross-join (legal BGP)") {
+    val r = Bgp.matchPatterns(kg, Seq(
+      TriplePattern("?x", "hasType", "Conflict:Attack"),
+      TriplePattern("?y", "sameAs", "?y")))
+    assert(r.select("x", "y").as[(String, String)].collect().toSet ==
+      Set(("a", "loop")))
+  }
+
+  test("bag multiplicity equals join multiplicity over the set store") {
+    // (?e hasEntity ?ent)(?e BEFORE ?o): e=a matches twice (b, c)
+    val r = Bgp.matchPatterns(kg, Seq(
+      TriplePattern("?e", "hasEntity", "?ent"),
+      TriplePattern("?e", "BEFORE", "?o")))
+    val rows = r.select("e", "ent", "o").as[(String, String, String)].collect()
+    assert(rows.count(_._1 == "a") == 2)
+    assert(rows.length == 3) // a->b, a->c, b->c (c has no BEFORE out-edge)
+  }
+}
