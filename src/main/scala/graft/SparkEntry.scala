@@ -1298,6 +1298,23 @@ object SparkEntry {
         .orderBy("e1", "e2")
     }),
 
+    "kg_bgp_optional" -> ((s, dir) => {
+      // SPARQL-core algebra beyond plain conjunction: non-speculated
+      // typed events (FILTER NOT EXISTS → left anti join) with their
+      // location if any (OPTIONAL → left outer join, null where
+      // unplaced). Non-degenerate on gold: both the anti-join and the
+      // null/bound split fire (n60: 416 rows = 463 typed − 47 typed-
+      // and-speculated; 203 placed / 213 null).
+      import graft.kg.Bgp, Bgp.TriplePattern
+      val tri = triplesFor(s, dir)
+      val nonSpec = Bgp.matchNotExists(tri,
+        Seq(TriplePattern("?e", "hasType", "?t")),
+        TriplePattern("?e", "speculated", "?s"))
+      Bgp.optionalJoin(tri, nonSpec, TriplePattern("?e", "Place", "?loc"))
+        .select("e", "t", "loc")
+        .orderBy(col("e"), col("loc").asc_nulls_first)
+    }),
+
     "q62_freq_quality" -> ((s, dir) =>
       // corpus-frequency quality scoring (quantized CCNet-style LM
       // filter): train-on-self unigram counts, score by hapax/rare
@@ -2477,6 +2494,18 @@ object SparkEntry {
           |JOIN gold t2 ON t2.subj = b.obj AND t2.pred = 'hasType'
           |WHERE b.pred = 'BEFORE'
           |ORDER BY e1, e2""".stripMargin),
+
+    // kg_bgp_optional: NOT EXISTS + LEFT JOIN in SQL over the gold set —
+    // the same algebra the engine compiles to anti/outer joins
+    "kg_bgp_optional" ->
+      (goldCte +
+        """SELECT t.subj AS e, t.obj AS t, p.obj AS loc
+          |FROM gold t
+          |LEFT JOIN gold p ON p.subj = t.subj AND p.pred = 'Place'
+          |WHERE t.pred = 'hasType'
+          |  AND NOT EXISTS (SELECT 1 FROM gold s
+          |                  WHERE s.subj = t.subj AND s.pred = 'speculated')
+          |ORDER BY e, loc NULLS FIRST""".stripMargin),
 
     // q62: the frequency table, bit-lengths, and per-doc sums re-derived
     // relationally; bin()-length integer log2 is identical in both

@@ -35,28 +35,67 @@ object Bgp {
 
   private def isVar(t: String): Boolean = t.startsWith("?")
 
+  /** One pattern → a constant-filtered projection with one column per
+    * distinct variable (first-appearance order, `?` stripped); repeated
+    * variables within the pattern become within-row equalities. */
+  private def bind(triples: DataFrame, pt: TriplePattern): DataFrame = {
+    val withConsts = pt.terms.filter { case (_, t) => !isVar(t) }
+      .foldLeft(triples) { case (df, (c, t)) => df.filter(col(c) === t) }
+    val varTerms = pt.terms.filter { case (_, t) => isVar(t) }
+    val varOrder = varTerms.map(_._2).distinct
+    val byVar = varTerms.groupBy(_._2)
+    val eq = varOrder.flatMap { v =>
+      byVar(v).tail.map(extra => col(extra._1) === col(byVar(v).head._1))
+    }
+    val filtered = eq.foldLeft(withConsts)(_.filter(_))
+    filtered.select(varOrder.map(v => col(byVar(v).head._1).as(v.drop(1))): _*)
+  }
+
+  private def conjoin(acc: DataFrame, next: DataFrame): DataFrame = {
+    val shared = acc.columns.filter(next.columns.contains).toSeq
+    if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
+  }
+
   /** Match a conjunction of patterns against `triples(subj, pred, obj)`.
     * Returns one column per distinct variable (in first-appearance
     * order, `?` stripped); one row per satisfying binding. */
   def matchPatterns(triples: DataFrame, patterns: Seq[TriplePattern]): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
-    val bound = patterns.map { pt =>
-      val withConsts = pt.terms.filter { case (_, t) => !isVar(t) }
-        .foldLeft(triples) { case (df, (c, t)) => df.filter(col(c) === t) }
-      // group the pattern's columns by variable, preserving term order
-      val varTerms = pt.terms.filter { case (_, t) => isVar(t) }
-      val varOrder = varTerms.map(_._2).distinct
-      val byVar = varTerms.groupBy(_._2)
-      // repeated variable within the pattern = within-row equality
-      val eq = varOrder.flatMap { v =>
-        byVar(v).tail.map(extra => col(extra._1) === col(byVar(v).head._1))
-      }
-      val filtered = eq.foldLeft(withConsts)(_.filter(_))
-      filtered.select(varOrder.map(v => col(byVar(v).head._1).as(v.drop(1))): _*)
-    }
-    bound.reduceLeft { (acc, next) =>
-      val shared = acc.columns.filter(next.columns.contains).toSeq
-      if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
-    }
+    patterns.map(bind(triples, _)).reduceLeft(conjoin)
   }
+
+  /** SPARQL OPTIONAL: extend each existing binding with the optional
+    * pattern's variables where it matches, null columns where it
+    * doesn't — a left outer join on the shared variables. The optional
+    * pattern must share at least one variable with the bindings (an
+    * unshared OPTIONAL would be a meaningless cross product).
+    * Compositional: `bindings` is any frame produced by this object. */
+  def optionalJoin(triples: DataFrame, bindings: DataFrame,
+      optional: TriplePattern): DataFrame = {
+    val opt = bind(triples, optional)
+    val shared = bindings.columns.filter(opt.columns.contains).toSeq
+    require(shared.nonEmpty, "OPTIONAL pattern shares no variable")
+    bindings.join(opt, shared, "left")
+  }
+
+  /** SPARQL FILTER NOT EXISTS: drop bindings for which the negated
+    * pattern has any match — a left anti join on the shared variables
+    * (never a row explosion, whatever the negated side's multiplicity). */
+  def notExistsJoin(triples: DataFrame, bindings: DataFrame,
+      negated: TriplePattern): DataFrame = {
+    val neg = bind(triples, negated)
+    val shared = bindings.columns.filter(neg.columns.contains).toSeq
+    require(shared.nonEmpty, "NOT EXISTS pattern shares no variable")
+    bindings.join(neg, shared, "left_anti")
+  }
+
+  /** Convenience: required conjunction + one OPTIONAL pattern. */
+  def matchOptional(triples: DataFrame, required: Seq[TriplePattern],
+      optional: TriplePattern): DataFrame =
+    optionalJoin(triples, matchPatterns(triples, required), optional)
+
+  /** Convenience: required conjunction + one NOT EXISTS pattern. */
+  def matchNotExists(triples: DataFrame, required: Seq[TriplePattern],
+      negated: TriplePattern): DataFrame =
+    notExistsJoin(triples, matchPatterns(triples, required), negated)
 }

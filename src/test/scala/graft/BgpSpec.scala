@@ -64,6 +64,41 @@ class BgpSpec extends AnyFunSuite {
       Set(("a", "loop")))
   }
 
+  test("OPTIONAL: left join binds where present, nulls where absent") {
+    val r = Bgp.matchOptional(kg,
+      Seq(TriplePattern("?e", "BEFORE", "?o")),
+      TriplePattern("?e", "hasType", "?t"))
+    val rows = r.select("e", "o", "t").collect()
+      .map(x => (x.getString(0), x.getString(1), Option(x.getString(2)))).toSet
+    assert(rows == Set(
+      ("a", "b", Some("Conflict:Attack")),
+      ("a", "c", Some("Conflict:Attack")),
+      ("b", "c", Some("Movement:Transport"))))
+    // an event with NO optional match keeps its row with null
+    val r2 = Bgp.matchOptional(kg,
+      Seq(TriplePattern("?e", "hasEntity", "?ent")),
+      TriplePattern("?e", "hasType", "?t"))
+    val cRow = r2.filter(r2("e") === "c").collect()
+    assert(cRow.length == 1 && cRow.head.isNullAt(cRow.head.fieldIndex("t")))
+    intercept[IllegalArgumentException] {
+      Bgp.matchOptional(kg, Seq(TriplePattern("?e", "BEFORE", "?o")),
+        TriplePattern("?x", "sameAs", "?y"))
+    }
+  }
+
+  test("NOT EXISTS: anti join drops matched bindings, never multiplies") {
+    // events with a type but no outgoing BEFORE: only b? a has, b has, c hasn't
+    val r = Bgp.matchNotExists(kg,
+      Seq(TriplePattern("?e", "hasEntity", "?ent")),
+      TriplePattern("?e", "BEFORE", "?later"))
+    assert(r.select("e").as[String].collect().toSet == Set("c"))
+    // negated side multiplicity (a BEFORE b AND c) must not duplicate rows
+    val kept = Bgp.matchNotExists(kg,
+      Seq(TriplePattern("?e", "hasType", "?t")),
+      TriplePattern("?e", "sameAs", "?x"))
+    assert(kept.count() == 2) // a and b, each exactly once
+  }
+
   test("bag multiplicity equals join multiplicity over the set store") {
     // (?e hasEntity ?ent)(?e BEFORE ?o): e=a matches twice (b, c)
     val r = Bgp.matchPatterns(kg, Seq(
