@@ -1315,6 +1315,14 @@ object SparkEntry {
         .orderBy(col("e"), col("loc").asc_nulls_first)
     }),
 
+    "kg_ntriples" -> ((s, dir) =>
+      // the standard RDF publishing sink: the committed triple set
+      // serialized as W3C N-Triples lines — character-for-character
+      // deterministic (literal replace chains, no regex), so the
+      // serialization itself hash-checks against the same concat over
+      // the gold set.
+      Triples.toNTriples(triplesFor(s, dir)).orderBy("ntriple")),
+
     "q62_freq_quality" -> ((s, dir) =>
       // corpus-frequency quality scoring (quantized CCNet-style LM
       // filter): train-on-self unigram counts, score by hapax/rare
@@ -2506,6 +2514,18 @@ object SparkEntry {
           |  AND NOT EXISTS (SELECT 1 FROM gold s
           |                  WHERE s.subj = t.subj AND s.pred = 'speculated')
           |ORDER BY e, loc NULLS FIRST""".stripMargin),
+
+    // kg_ntriples: the same serialization re-derived with DuckDB string
+    // functions (single-quoted SQL strings treat backslash literally, so
+    // '\' is one backslash and '\\' two; chr() for the control chars)
+    "kg_ntriples" ->
+      (goldCte +
+        """SELECT '<urn:g:' || replace(subj, ' ', '%20') || '> <urn:g:' ||
+          |  replace(pred, ' ', '%20') || '> "' ||
+          |  replace(replace(replace(replace(replace(obj,
+          |    '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),
+          |    chr(9), '\t') || '" .' AS ntriple
+          |FROM gold ORDER BY ntriple""".stripMargin),
 
     // q62: the frequency table, bit-lengths, and per-doc sums re-derived
     // relationally; bin()-length integer log2 is identical in both

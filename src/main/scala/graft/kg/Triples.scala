@@ -1,6 +1,6 @@
 package graft.kg
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.link.Canonicalize
@@ -293,5 +293,27 @@ object Triples {
       }
     }
     known
+  }
+
+  /** Serialize `(subj, pred, obj)` to W3C N-Triples lines — the
+    * standard RDF interchange sink a KG-construction pipeline publishes
+    * (any triple store / SPARQL engine ingests it directly). Subjects
+    * and predicates become `urn:g:` IRIs with spaces percent-encoded
+    * (the one IRI-illegal character this corpus produces); objects
+    * become literals with the N-Triples escape set (backslash first,
+    * then quote, then \n \r \t). One narrow codegen'd projection —
+    * string concat + literal `replace` chains, no regex, no shuffle;
+    * write the result with any text sink. Deterministic character-for-
+    * character, so the serialization itself is hash-checkable. */
+  def toNTriples(triples: DataFrame): DataFrame = {
+    def iri(c: Column) =
+      concat(lit("<urn:g:"), replace(c, lit(" "), lit("%20")), lit(">"))
+    val esc = Seq("\\" -> "\\\\", "\"" -> "\\\"", "\n" -> "\\n",
+        "\r" -> "\\r", "\t" -> "\\t")
+      .foldLeft(col("obj")) { case (x, (from, to)) =>
+        replace(x, lit(from), lit(to)) }
+    triples.select(concat(
+      iri(col("subj")), lit(" "), iri(col("pred")), lit(" "),
+      lit("\""), esc, lit("\""), lit(" .")).as("ntriple"))
   }
 }

@@ -99,6 +99,18 @@ class BgpSpec extends AnyFunSuite {
     assert(kept.count() == 2) // a and b, each exactly once
   }
 
+  test("N-Triples serialization: IRI space-encoding + literal escape set") {
+    val hostile = Seq(
+      ("ev 1", "hasEntity", "LOC:the border"),
+      ("ev2", "says", "a\\b\"c\nd\te\rf")
+    ).toDF("subj", "pred", "obj")
+    val lines = graft.kg.Triples.toNTriples(hostile)
+      .orderBy("ntriple").as[String].collect()
+    assert(lines(0) == "<urn:g:ev%201> <urn:g:hasEntity> \"LOC:the border\" .")
+    // escape order: backslash first, then quote, then control chars
+    assert(lines(1) == "<urn:g:ev2> <urn:g:says> \"a\\\\b\\\"c\\nd\\te\\rf\" .")
+  }
+
   test("bag multiplicity equals join multiplicity over the set store") {
     // (?e hasEntity ?ent)(?e BEFORE ?o): e=a matches twice (b, c)
     val r = Bgp.matchPatterns(kg, Seq(
