@@ -62,6 +62,27 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Canonical-lifted temporal edge set over the committed triples —
+    * BEFORE plus reversed AFTER, endpoints mapped through sameAs so
+    * chains cross sentences via shared canonical events. Shared by
+    * kg_temporal_closure (reachability) and kg_pagerank (centrality);
+    * both oracles re-derive the identical lift in SQL over the gold set. */
+  private def liftedTemporalEdges(tri: DataFrame): DataFrame = {
+    val canon = tri.filter(col("pred") === "sameAs")
+      .select(col("subj").as("ev"), col("obj").as("canon"))
+    val raw = tri.filter(col("pred") === "BEFORE")
+      .select(col("subj").as("s0"), col("obj").as("o0"))
+      .unionByName(tri.filter(col("pred") === "AFTER")
+        .select(col("obj").as("s0"), col("subj").as("o0")))
+    raw
+      .join(canon.select(col("ev").as("s0"), col("canon").as("cs")),
+        Seq("s0"), "left")
+      .join(canon.select(col("ev").as("o0"), col("canon").as("co")),
+        Seq("o0"), "left")
+      .select(coalesce(col("cs"), col("s0")).as("s"),
+        coalesce(col("co"), col("o0")).as("o"))
+  }
+
   /** Unique memory-sink names for q56's streaming replay (one per call —
     * memory sinks are session-registered tables). */
   private val q56Counter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -1323,6 +1344,28 @@ object SparkEntry {
       // the gold set.
       Triples.toNTriples(triplesFor(s, dir)).orderBy("ntriple")),
 
+    "kg_pagerank" -> ((s, dir) =>
+      // KG centrality over the same canonical-lifted temporal graph the
+      // closure infers on: 5-round fixed-iteration power method
+      // (Triples.pageRank). Ranks emit as floor(r*1e9 + 0.5) integers —
+      // pure double arithmetic on both sides, no decimal-string rounding
+      // — so the double recurrence hash-checks against the identical
+      // recurrence unrolled (r0..r5) in SQL over the independent gold
+      // set.
+      Triples.pageRank(liftedTemporalEdges(triplesFor(s, dir)), iters = 5)
+        .select(col("v").as("node"),
+          floor(col("r") * lit(1e9) + lit(0.5)).cast("long").as("rank_ppb"))
+        .orderBy("node")),
+
+    "q63_dup_ngrams" -> ((s, dir) =>
+      // cross-document duplicated word-10-gram audit (the exact-substring
+      // dedup signal, Lee et al. 2022 ExactSubstr at word-gram
+      // granularity): per doc, how many gram positions also occur in
+      // another document — integer math end-to-end (dup_ppm via `div`),
+      // so the row set carries a full hash oracle.
+      Dedup.crossDocNgramDup(t(s, dir, "documents"), k = 10)
+        .orderBy("doc_id")),
+
     "q62_freq_quality" -> ((s, dir) =>
       // corpus-frequency quality scoring (quantized CCNet-style LM
       // filter): train-on-self unigram counts, score by hapax/rare
@@ -1432,21 +1475,9 @@ object SparkEntry {
       // facts the pairwise classifier never asserted; s == o rows are
       // temporal contradictions surfaced by linking. Oracle: the same
       // lift + a recursive CTE over the independent gold triple set.
-      val tri = triplesFor(s, dir)
-      val canon = tri.filter(col("pred") === "sameAs")
-        .select(col("subj").as("ev"), col("obj").as("canon"))
-      val raw = tri.filter(col("pred") === "BEFORE")
-        .select(col("subj").as("s0"), col("obj").as("o0"))
-        .unionByName(tri.filter(col("pred") === "AFTER")
-          .select(col("obj").as("s0"), col("subj").as("o0")))
-      val lifted = raw
-        .join(canon.select(col("ev").as("s0"), col("canon").as("cs")),
-          Seq("s0"), "left")
-        .join(canon.select(col("ev").as("o0"), col("canon").as("co")),
-          Seq("o0"), "left")
-        .select(coalesce(col("cs"), col("s0")).as("s"),
-          coalesce(col("co"), col("o0")).as("o"))
-      Triples.transitiveClosure(lifted, maxHops = 12).orderBy("s", "o")
+      Triples.transitiveClosure(
+        liftedTemporalEdges(triplesFor(s, dir)), maxHops = 12)
+        .orderBy("s", "o")
     }),
 
     "q55_batch_plan" -> ((s, dir) => {
@@ -2526,6 +2557,66 @@ object SparkEntry {
           |    '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),
           |    chr(9), '\t') || '" .' AS ntriple
           |FROM gold ORDER BY ntriple""".stripMargin),
+
+    // kg_pagerank: the identical 5-round power iteration unrolled as
+    // chained CTEs over the gold set — same canonical lift as the
+    // closure oracle, same double arithmetic ((1.0-0.85)/N base, 0.85 *
+    // SUM(r/deg) inflow; every literal cast ::DOUBLE so DuckDB's DECIMAL
+    // literals never enter), same floor(r*1e9 + 0.5) integerization.
+    // Summation order may differ between engines; fp noise is ~1e-10 of
+    // a ppb unit, absorbed by the integerization.
+    "kg_pagerank" ->
+      (goldCte +
+        """, canon AS (SELECT subj AS ev, obj AS canon FROM gold WHERE pred = 'sameAs'),
+          |raw AS (SELECT subj AS s, obj AS o FROM gold WHERE pred = 'BEFORE'
+          |        UNION SELECT obj, subj FROM gold WHERE pred = 'AFTER'),
+          |e AS (SELECT DISTINCT coalesce(cs.canon, r.s) AS s, coalesce(co.canon, r.o) AS o
+          |      FROM raw r LEFT JOIN canon cs ON r.s = cs.ev
+          |                 LEFT JOIN canon co ON r.o = co.ev),
+          |nodes AS (SELECT s AS v FROM e UNION SELECT o FROM e),
+          |cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
+          |od AS (SELECT s AS v, count(*)::BIGINT AS deg FROM e GROUP BY s),
+          |r0 AS (SELECT v, 1.0::DOUBLE / cnt.n AS r FROM nodes, cnt)""".stripMargin +
+        (1 to 5).map { k =>
+          s""",
+             |r$k AS (SELECT n.v,
+             |  (1.0::DOUBLE - 0.85::DOUBLE) / cnt.n
+             |    + 0.85::DOUBLE * coalesce(f.acc, 0.0::DOUBLE) AS r
+             |  FROM nodes n CROSS JOIN cnt
+             |  LEFT JOIN (SELECT e.o AS v, SUM(p.r / od.deg) AS acc
+             |             FROM e JOIN r${k - 1} p ON p.v = e.s
+             |                    JOIN od ON od.v = e.s
+             |             GROUP BY e.o) f ON f.v = n.v)""".stripMargin
+        }.mkString +
+        """
+          |SELECT v AS node,
+          |  CAST(floor(r * 1e9 + 0.5::DOUBLE) AS BIGINT) AS rank_ppb
+          |FROM r5 ORDER BY node""".stripMargin),
+
+    // q63: the same gram construction relationally — list slicing for
+    // the 10-grams, HAVING count(DISTINCT doc_id) >= 2 for the cross-doc
+    // test, `//` integer division for the exact ppm.
+    "q63_dup_ngrams" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS toks
+        |  FROM documents),
+        |grams AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 10
+        |    THEN list_transform(range(1, len(toks) - 8),
+        |                        i -> array_to_string(toks[i:i+9], ' '))
+        |    ELSE []::VARCHAR[] END) AS gram FROM toks),
+        |dup AS (SELECT gram FROM grams GROUP BY gram
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM grams GROUP BY doc_id),
+        |dd AS (SELECT doc_id, count(*)::BIGINT AS dup_grams FROM grams
+        |       WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(tot.n_grams, 0)::BIGINT AS n_grams,
+        |  COALESCE(dd.dup_grams, 0)::BIGINT AS dup_grams,
+        |  CASE WHEN COALESCE(tot.n_grams, 0) = 0 THEN 0::BIGINT
+        |       ELSE COALESCE(dd.dup_grams, 0)::BIGINT * 1000000 // tot.n_grams END AS dup_ppm
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN tot USING (doc_id) LEFT JOIN dd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // q62: the frequency table, bit-lengths, and per-doc sums re-derived
     // relationally; bin()-length integer log2 is identical in both

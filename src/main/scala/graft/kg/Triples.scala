@@ -295,6 +295,54 @@ object Triples {
     known
   }
 
+  /** Fixed-iteration PageRank over a directed edge set — KG centrality,
+    * the "which events anchor this graph" ranking a KG consumer asks of
+    * the constructed temporal graph. Classic power iteration:
+    * r'(v) = (1-d)/N + d * SUM over in-edges u->v of r(u)/outdeg(u),
+    * with a FIXED iteration count so the result is deterministic and
+    * oracle-checkable (the dangling-mass term is intentionally omitted —
+    * the simplified textbook recurrence — and the oracle re-derives the
+    * identical recurrence, same double arithmetic, unrolled in SQL).
+    *
+    * Distributed shape, per round: one equi-join of the (edge, outdeg)
+    * frame against the N-row rank frame (keyed shuffle AQE can re-plan;
+    * broadcastable when N is small) and one groupBy-sum — partial
+    * aggregation map-side, so per-round traffic is O(N + distinct dst),
+    * not O(edges). The edge frame with its out-degrees materializes ONCE
+    * (`localCheckpoint`, same lineage-truncation discipline as
+    * `transitiveClosure`); only the N-row rank frame re-snapshots per
+    * round, keeping the plan flat at any iteration count. Work per round
+    * is independent of the round number — the 100-TB-safe power-method
+    * shape (at cluster scale the per-round snapshot becomes a committed
+    * table, like the closure's frontier).
+    *
+    * Input: (s, o) string columns. Output: (v, r) — node and its rank
+    * after `iters` rounds (ranks sum to <= 1; dangling mass leaks). */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col("s"), col("o")).distinct().localCheckpoint()
+    val nodes = e.select(col("s").as("v"))
+      .unionByName(e.select(col("o").as("v")))
+      .distinct().localCheckpoint()
+    val n = nodes.count() // one bounded job: node count, needed for 1/N
+    val outDeg = e.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val weighted = e.join(outDeg, Seq("s")).localCheckpoint()
+    val base = (1.0 - damping) / n
+    var rank = nodes.withColumn("r", lit(1.0 / n)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inflow = weighted
+        .join(rank.withColumnRenamed("v", "s"), Seq("s"))
+        .groupBy(col("o").as("v"))
+        .agg(sum(col("r") / col("deg")).as("acc"))
+      rank = nodes.join(inflow, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + lit(damping) * coalesce(col("acc"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    rank
+  }
+
   /** Serialize `(subj, pred, obj)` to W3C N-Triples lines — the
     * standard RDF interchange sink a KG-construction pipeline publishes
     * (any triple store / SPARQL engine ingests it directly). Subjects

@@ -466,4 +466,54 @@ object Dedup {
         lit(1).as("keep"))
     clustered.unionByName(singles)
   }
+
+  /** Cross-document duplicated-substring statistics at word-k-gram
+    * granularity — the per-document audit behind exact-substring
+    * training-data dedup (Lee et al. 2022's ExactSubstr, approximated at
+    * word-gram boundaries so it is exactly SQL-re-derivable): a position
+    * is "duplicated" when its k-gram also occurs in at least one OTHER
+    * document, and the per-doc duplicated fraction is the signal a
+    * curation pipeline thresholds on (within-doc repetition is the
+    * separate q60 operator). Emits (doc_id, n_grams, dup_grams, dup_ppm)
+    * with dup_ppm an exact integer (`div`), so the row is hash-checkable.
+    *
+    * Shape: one explode to gram positions (narrow), one groupBy-gram
+    * countDistinct (map-side partial dedup of (gram, doc) pairs — the
+    * heavy shuffle, keyed on the gram so boilerplate grams are single
+    * keys, not broadcast storms), one left-semi join back, two per-doc
+    * groupBys sharing the doc_id key. At corpus scale the gram string
+    * would be replaced by
+    * xxhash64(gram) as the shuffle key (64-bit space makes collisions
+    * negligible and cuts shuffle width ~10x); grouped on the string here
+    * so the DuckDB oracle is exact, with the hash variant one projection
+    * away. */
+  def crossDocNgramDup(docs: DataFrame, k: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val toks = docs.select(col(idCol),
+      expr(s"filter(split($textCol, ' '), t -> t <> '')").as("toks"))
+    // sequence(1, m) is DESCENDING when m < 1 — guard short docs to an
+    // empty gram array instead
+    val grams = toks.select(col(idCol), explode(expr(
+      s"""CASE WHEN size(toks) >= $k
+         |  THEN transform(sequence(1, size(toks) - ${k - 1}),
+         |                 i -> array_join(slice(toks, i, $k), ' '))
+         |  ELSE array() END""".stripMargin)).as("gram"))
+    val dupGrams = grams.groupBy("gram")
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2).select("gram")
+    val perDocTotal = grams.groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"))
+    val perDocDup = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("dup_grams"))
+    docs.select(col(idCol))
+      .join(perDocTotal, Seq(idCol), "left")
+      .join(perDocDup, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"))
+      .withColumn("dup_ppm",
+        when(col("n_grams") === 0, lit(0L))
+          .otherwise(expr("dup_grams * 1000000L div n_grams")))
+  }
 }

@@ -788,4 +788,31 @@ class OpsSpec extends AnyFunSuite {
     val quant = top.map(_.getLong(0)).toSet
     assert(quant.intersect(bf).size >= 8, s"recall ${quant.intersect(bf).size}/10")
   }
+
+  test("crossDocNgramDup: cross-doc duplicated k-grams, exact ppm, short-doc guard") {
+    // k=4. doc 0 and doc 1 share the 4-gram "a b c d" (both positions
+    // dup); doc 2 repeats "x y z w" WITHIN itself only — within-doc
+    // repetition must NOT count as cross-doc duplication; doc 3 is
+    // shorter than k (zero grams, dup_ppm 0); doc 4 shares nothing.
+    val docs = Seq(
+      (0L, "a b c d e"),      // grams: "a b c d", "b c d e"
+      (1L, "z a b c d"),      // grams: "z a b c", "a b c d"
+      (2L, "x y z w x y z w"),// 5 grams, all self-only
+      (3L, "too short"),      // 0 grams
+      (4L, "p q r s t")       // 2 grams, unique
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocNgramDup(docs, k = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(got(0L) == ((2L, 1L, 500000L)))  // 1 of 2 positions dup
+    assert(got(1L) == ((2L, 1L, 500000L)))
+    assert(got(2L) == ((5L, 0L, 0L)))       // within-doc only: not dup
+    assert(got(3L) == ((0L, 0L, 0L)))       // short-doc guard
+    assert(got(4L) == ((2L, 0L, 0L)))
+    // partition-independence: same answer at 7 partitions
+    val re = Dedup.crossDocNgramDup(docs.repartition(7), k = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
+    assert(re == got)
+  }
 }
