@@ -28,7 +28,8 @@ object PlanAudit {
       "kg_snapshot_delta", "q55_batch_plan", "kg_temporal_closure",
       "q57_corpus_stats", "q58_integrity_audit", "q59_decontaminate",
       "q60_repetition", "q61_quantized_knn", "q62_freq_quality", "kg_bgp",
-      "kg_bgp_optional", "kg_ntriples", "kg_pagerank", "q63_dup_ngrams")
+      "kg_bgp_optional", "kg_ntriples", "kg_pagerank", "q63_dup_ngrams",
+      "kg_provenance")
     val sb = new StringBuilder
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)

@@ -1344,6 +1344,21 @@ object SparkEntry {
       // the gold set.
       Triples.toNTriples(triplesFor(s, dir)).orderBy("ntriple")),
 
+    "kg_provenance" -> ((s, dir) =>
+      // the per-row lineage invariant made driver-visible: every
+      // committed triple carries (repo, path, contentSha) — sha256 of
+      // the exact source bytes, stamped at ingest (Pipeline.scala) and
+      // riding every stage unchanged. This row set (per-file triple
+      // counts keyed by the full lineage) hash-checks against the same
+      // aggregate over the gold TSV's independently derived lineage
+      // columns, so a wrong sha, a mis-attributed triple, or a file
+      // that silently lost/gained triples fails the hash.
+      triplesFor(s, dir)
+        .groupBy(col("repo"), col("path"),
+          col("contentSha").as("content_sha"))
+        .agg(count(lit(1)).as("n_triples"))
+        .orderBy("repo", "path")),
+
     "kg_pagerank" -> ((s, dir) =>
       // KG centrality over the same canonical-lifted temporal graph the
       // closure infers on: 5-round fixed-iteration power method
@@ -2557,6 +2572,18 @@ object SparkEntry {
           |    '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),
           |    chr(9), '\t') || '" .' AS ntriple
           |FROM gold ORDER BY ntriple""".stripMargin),
+
+    // kg_provenance: the sha256 lineage invariant — the gold TSV's
+    // (repo, path, contentsha) columns come from GoldDeriver's own
+    // derivation over Synth's deterministic content (plain Scala, no
+    // pipeline stages; the hash itself is the shared pure Text.sha256 —
+    // SHA-256 is SHA-256), so the engine's stamped lineage must match
+    // byte-for-byte per file.
+    "kg_provenance" ->
+      (goldCte +
+        "SELECT repo, path, contentsha AS content_sha, " +
+        "count(*) AS n_triples FROM gold GROUP BY 1, 2, 3 " +
+        "ORDER BY repo, path"),
 
     // kg_pagerank: the identical 5-round power iteration unrolled as
     // chained CTEs over the gold set — same canonical lift as the
