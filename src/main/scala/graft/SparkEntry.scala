@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.corpus.Synth
 import graft.kg.{Pipeline, Triples}
-import graft.ops.{Decontaminate, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1381,6 +1381,18 @@ object SparkEntry {
       Dedup.crossDocNgramDup(t(s, dir, "documents"), k = 10)
         .orderBy("doc_id")),
 
+    "q64_seq_packing" -> ((s, dir) =>
+      // GPT-style sequence packing (concat-then-chunk at 128 tokens):
+      // per doc, where its tokens land after the corpus is concatenated
+      // in doc_id order — computed as a TWO-PASS distributed prefix sum
+      // (block cumsum + block-offset join), never a single global
+      // window; all-integer, so the packing layout carries a full hash
+      // oracle (a plain SUM OVER (ORDER BY) re-derivation in DuckDB).
+      Packing.packSequences(
+        TextAnalysis.withTokenCounts(t(s, dir, "documents")),
+        seqLen = 128)
+        .orderBy("doc_id")),
+
     "q62_freq_quality" -> ((s, dir) =>
       // corpus-frequency quality scoring (quantized CCNet-style LM
       // filter): train-on-self unigram counts, score by hapax/rare
@@ -2644,6 +2656,26 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN tot USING (doc_id) LEFT JOIN dd USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q64: the same packing layout from ONE global window (the oracle
+    // can afford the single-task shape the engine must avoid) — same
+    // ws-token definition as q16, `//`+`%` integer arithmetic.
+    "q64_seq_packing" ->
+      """WITH tc AS (SELECT doc_id,
+        |    (CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+        |          ELSE LEN(regexp_split_to_array(TRIM(text), '\s+')) END)::BIGINT AS toks
+        |  FROM documents),
+        |p AS (SELECT doc_id, toks,
+        |    COALESCE(SUM(toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prefix
+        |  FROM tc)
+        |SELECT doc_id, toks AS n_tokens,
+        |  prefix // 128 AS start_seq,
+        |  prefix % 128 AS start_off,
+        |  (CASE WHEN toks = 0 THEN 0
+        |        ELSE (prefix + toks - 1) // 128 - prefix // 128 + 1
+        |   END)::BIGINT AS seqs_spanned
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // q62: the frequency table, bit-lengths, and per-doc sums re-derived
     // relationally; bin()-length integer log2 is identical in both

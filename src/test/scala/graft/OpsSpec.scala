@@ -815,4 +815,32 @@ class OpsSpec extends AnyFunSuite {
       .map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
     assert(re == got)
   }
+
+  test("packSequences: two-pass prefix sum == local scan; boundary spans; empty docs") {
+    import graft.ops.Packing
+    // token counts chosen to cross sequence boundaries at L=10:
+    // doc ids deliberately sparse (blocks of 3 with blockSize=3)
+    val rows = Seq((0L, 4L), (1L, 0L), (2L, 9L), (5L, 10L), (7L, 25L),
+      (9L, 1L), (12L, 3L))
+    val docs = rows.toDF("doc_id", "ws_tokens")
+    // local reference: exclusive scan in plain Scala
+    val prefixes = rows.map(_._2).scanLeft(0L)(_ + _).init
+    val want = rows.zip(prefixes).map { case ((id, t), p) =>
+      val spans = if (t == 0) 0L else (p + t - 1) / 10 - p / 10 + 1
+      id -> ((t, p / 10, p % 10, spans))
+    }.toMap
+    for (parts <- Seq(1, 5)) {
+      val got = Packing.packSequences(
+        docs.repartition(parts), seqLen = 10, blockSize = 3)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map { case (id, t, sq, off, sp) => id -> ((t, sq, off, sp)) }
+        .toMap
+      assert(got == want, s"parts=$parts: $got vs $want")
+    }
+    // hand-check a boundary-crossing doc: doc 7 starts at prefix 23 →
+    // seq 2 off 3, its 25 tokens end at token 47 → seq 4: spans 3
+    assert(want(7L) == ((25L, 2L, 3L, 3L)))
+    // empty doc: position defined, zero spans
+    assert(want(1L) == ((0L, 0L, 4L, 0L)))
+  }
 }
