@@ -1372,6 +1372,54 @@ object SparkEntry {
           floor(col("r") * lit(1e9) + lit(0.5)).cast("long").as("rank_ppb"))
         .orderBy("node")),
 
+    "kg_labelprop" -> ((s, dir) =>
+      // deterministic community detection over the same canonical-lifted
+      // temporal graph as kg_pagerank/kg_temporal_closure: 3-round
+      // min-label propagation (Triples.labelProp — after diameter rounds
+      // it is connected components; at 3 it is the bounded-round LPA a
+      // streaming/incremental graph pipeline runs per snapshot). String
+      // min is binary-lexicographic in both engines, so the fixed-round
+      // recurrence unrolls exactly (l0..l3) in SQL over the independent
+      // gold set.
+      Triples.labelProp(liftedTemporalEdges(triplesFor(s, dir)), iters = 3)
+        .select(col("v").as("node"), col("l").as("community"))
+        .orderBy("node")),
+
+    "kg_degree_dist" -> ((s, dir) =>
+      // graph-shape audit for the published KG: histogram of per-term
+      // total degree (out + in over ALL predicates — the snapshot
+      // profile that catches hub blowups and skew before they hit a
+      // downstream join). Two map-side-combinable aggregates + one
+      // full-outer merge, all-integer, full hash oracle.
+      Triples.degreeHistogram(
+        triplesFor(s, dir).select("subj", "pred", "obj"))
+        .orderBy("degree")),
+
+    "q65_tfidf_topk" -> ((s, dir) =>
+      // TF-IDF top-5 terms per document with the bin()-length
+      // integer-quantized idf (exact integers end-to-end — a float log
+      // idf could never hash-match across engines). Per-doc row_number
+      // window: top-k selection is per-group, scales with the corpus.
+      TextAnalysis.tfidfTopK(t(s, dir, "documents"), k = 5)
+        .orderBy("doc_id", "rank")),
+
+    "q66_bpe_pairs" -> ((s, dir) =>
+      // first-round BPE merge table (Sennrich 2016): corpus-wide
+      // adjacent char-pair counts, computed over the word VOCABULARY
+      // weighted by frequency — the char explode touches each distinct
+      // word once, not once per occurrence. Total order (cnt desc, pair
+      // asc) + cap, so the merge table carries a full hash oracle.
+      TextAnalysis.bpePairStats(t(s, dir, "documents"), topN = 50)),
+
+    "q67_phrase_pmi" -> ((s, dir) =>
+      // collocation mining (word2vec-phrases style): adjacent-token
+      // bigrams with integer-quantized PMI (bitlen(cnt_xy*N) -
+      // bitlen(cnt_x*cnt_y)) — the bigram build is a narrow zip of the
+      // token array with its own tail, no self-join; unigram counts
+      // join in twice; exact integers end-to-end, full hash oracle.
+      TextAnalysis.phrasePmi(t(s, dir, "documents"),
+        minCount = 3, topN = 100)),
+
     "q63_dup_ngrams" -> ((s, dir) =>
       // cross-document duplicated word-10-gram audit (the exact-substring
       // dedup signal, Lee et al. 2022 ExactSubstr at word-gram
@@ -2631,6 +2679,95 @@ object SparkEntry {
           |SELECT v AS node,
           |  CAST(floor(r * 1e9 + 0.5::DOUBLE) AS BIGINT) AS rank_ppb
           |FROM r5 ORDER BY node""".stripMargin),
+
+    // kg_labelprop: same lifted-edge derivation as kg_pagerank, then the
+    // 3-round min-label recurrence unrolled (l0..l3) — min on VARCHAR is
+    // binary-lexicographic in both engines, and the node ids are ASCII.
+    "kg_labelprop" ->
+      (goldCte +
+        """, canon AS (SELECT subj AS ev, obj AS canon FROM gold WHERE pred = 'sameAs'),
+          |raw AS (SELECT subj AS s, obj AS o FROM gold WHERE pred = 'BEFORE'
+          |        UNION SELECT obj, subj FROM gold WHERE pred = 'AFTER'),
+          |e AS (SELECT DISTINCT coalesce(cs.canon, r.s) AS s, coalesce(co.canon, r.o) AS o
+          |      FROM raw r LEFT JOIN canon cs ON r.s = cs.ev
+          |                 LEFT JOIN canon co ON r.o = co.ev),
+          |sym AS (SELECT s, o FROM e UNION SELECT o, s FROM e),
+          |nodes AS (SELECT DISTINCT s AS v FROM sym),
+          |l0 AS (SELECT v, v AS l FROM nodes)""".stripMargin +
+        (1 to 3).map { k =>
+          s""",
+             |l$k AS (SELECT v, min(l) AS l FROM (
+             |  SELECT v, l FROM l${k - 1}
+             |  UNION ALL
+             |  SELECT sym.o AS v, p.l FROM sym JOIN l${k - 1} p ON p.v = sym.s)
+             |  GROUP BY v)""".stripMargin
+        }.mkString +
+        """
+          |SELECT v AS node, l AS community FROM l3 ORDER BY node""".stripMargin),
+
+    // kg_degree_dist: per-term out/in counts over the full gold set,
+    // full-outer merged, histogrammed — all-integer.
+    "kg_degree_dist" ->
+      (goldCte +
+        """, od AS (SELECT subj AS node, count(*)::BIGINT AS out_deg FROM gold GROUP BY 1),
+          |ind AS (SELECT obj AS node, count(*)::BIGINT AS in_deg FROM gold GROUP BY 1),
+          |nd AS (SELECT COALESCE(od.node, ind.node) AS node,
+          |         COALESCE(od.out_deg, 0) + COALESCE(ind.in_deg, 0) AS degree
+          |       FROM od FULL JOIN ind ON od.node = ind.node)
+          |SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_nodes
+          |FROM nd GROUP BY 1 ORDER BY degree""".stripMargin),
+
+    // q65: the same per-(doc,token) combine / df aggregate / bin()-length
+    // integer idf / per-doc row_number ranking — same ws-token and
+    // bin-log2 definitions as q62.
+    "q65_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pd AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS occ
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM w) GROUP BY 1, 2),
+        |dfreq AS (SELECT tok, COUNT(*)::BIGINT AS df FROM pd GROUP BY 1),
+        |nd AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+        |sc AS (SELECT pd.doc_id, pd.tok, pd.occ, dfreq.df,
+        |    (pd.occ * (1 + length(bin(nd.n_docs)) - length(bin(dfreq.df))))::BIGINT AS score
+        |  FROM pd JOIN dfreq USING (tok), nd),
+        |rk AS (SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank FROM sc)
+        |SELECT doc_id, rank::BIGINT AS rank, tok, occ, df, score
+        |FROM rk WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // q66: the same vocab-weighted pair expansion relationally —
+    // unnest(range) for the positions, substr for the 2-char pairs,
+    // one weighted GROUP BY; occurrence-level COUNT(*) equals the
+    // engine's vocab-weighted SUM by construction.
+    "q66_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\s+'), x -> length(x) >= 2)) AS w
+        |  FROM documents),
+        |pos AS (SELECT w, unnest(range(1, length(w))) AS i FROM w),
+        |pr AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair FROM pos)
+        |SELECT pair, COUNT(*)::BIGINT AS cnt FROM pr
+        |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    // q67: adjacent bigrams via 1-based list indexing, unigram counts
+    // joined twice, the same bin()-length PMI quantization as q62/q65.
+    "q67_phrase_pmi" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (SELECT tok, COUNT(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(t) AS tok FROM w) GROUP BY 1),
+        |tot AS (SELECT SUM(cnt)::BIGINT AS n_total FROM uni),
+        |bg AS (SELECT t[i] AS x, t[i + 1] AS y
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM w)),
+        |bgc AS (SELECT x, y, COUNT(*)::BIGINT AS cnt_xy FROM bg
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT bgc.x || ' ' || bgc.y AS bigram, bgc.cnt_xy AS cnt,
+        |  (length(bin(bgc.cnt_xy * tot.n_total))
+        |    - length(bin(ux.cnt * uy.cnt)))::BIGINT AS pmi_bits
+        |FROM bgc JOIN uni ux ON ux.tok = bgc.x
+        |         JOIN uni uy ON uy.tok = bgc.y, tot
+        |ORDER BY cnt DESC, bigram LIMIT 100""".stripMargin,
 
     // q63: the same gram construction relationally — list slicing for
     // the 10-grams, HAVING count(DISTINCT doc_id) >= 2 for the cross-doc

@@ -343,6 +343,56 @@ object Triples {
     rank
   }
 
+  /** Bounded-round min-label propagation over `edges(s, o)` — the
+    * deterministic community-detection variant (label = min node id
+    * reachable within `iters` undirected hops; after diameter-many
+    * rounds it IS connected components). Same execution discipline as
+    * [[pageRank]]: symmetrized distinct edge set checkpointed once, one
+    * shuffle per round (neighbor-join + min aggregate), eager
+    * localCheckpoint per round so the lineage never compounds — at
+    * cluster scale each round is a single hash-partitioned stage keyed
+    * by node. String min is binary-lexicographic in both Spark and
+    * DuckDB, so the fixed-round recurrence unrolls exactly in SQL. */
+  def labelProp(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col("s"), col("o")).distinct()
+    val sym = e.unionByName(e.select(col("o").as("s"), col("s").as("o")))
+      .distinct().localCheckpoint()
+    val nodes = sym.select(col("s").as("v")).distinct()
+    var lab = nodes.withColumn("l", col("v")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val nbr = sym
+        .join(lab.withColumnRenamed("v", "s"), Seq("s"))
+        .select(col("o").as("v"), col("l"))
+      lab = lab.unionByName(nbr)
+        .groupBy(col("v")).agg(min(col("l")).as("l"))
+        .localCheckpoint()
+    }
+    lab
+  }
+
+  /** KG degree-distribution audit: per-node out/in/total degree over the
+    * full triple set (every predicate — the graph-shape profile a
+    * publishing pipeline charts per snapshot), then the histogram of
+    * total degrees. Two map-side-combinable aggregates, all-integer, so
+    * both frames carry full hash oracles. Returns the histogram
+    * `(degree, n_nodes)`; [[nodeDegrees]] exposes the per-node frame. */
+  def nodeDegrees(triples: DataFrame): DataFrame = {
+    val out = triples.groupBy(col("subj").as("node"))
+      .agg(count(lit(1)).as("out_deg"))
+    val in = triples.groupBy(col("obj").as("node"))
+      .agg(count(lit(1)).as("in_deg"))
+    out.join(in, Seq("node"), "full")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .withColumn("degree", col("out_deg") + col("in_deg"))
+  }
+
+  def degreeHistogram(triples: DataFrame): DataFrame =
+    nodeDegrees(triples)
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+
   /** Serialize `(subj, pred, obj)` to W3C N-Triples lines — the
     * standard RDF interchange sink a KG-construction pipeline publishes
     * (any triple store / SPARQL engine ingests it directly). Subjects

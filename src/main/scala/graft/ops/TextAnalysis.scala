@@ -286,6 +286,100 @@ object TextAnalysis {
           .cast("int").as("noisy"))
   }
 
+  // ---- corpus-level term statistics (training-data curation) ----
+
+  /** TF-IDF top-k terms per document with an integer-quantized idf
+    * (idf_q = 1 + bitlen(N_docs) - bitlen(df), the same bin()-length
+    * log2 as [[frequencyQuality]]) so the scores are exact integers and
+    * the whole ranking carries a full hash oracle — a float log idf
+    * never could. Shape: one explode → per-(doc,token) combine → df
+    * aggregate over the (much smaller) per-doc term frame → broadcast
+    * doc count → per-doc row_number window. The window partitions by
+    * doc_id, so top-k selection is per-group and scales with the corpus;
+    * ties break on token asc, making the emitted rows deterministic. */
+  def tfidfTopK(docs: DataFrame, k: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    val perDoc = docs.select(col(idCol), explode(toks).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("occ"))
+    // document frequency: one row per (doc, tok) already, so df is a
+    // plain count — no distinct needed
+    val dfreq = perDoc.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("tok").asc)
+    perDoc
+      .join(dfreq, Seq("tok"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("occ") * (lit(1L) + length(bin(col("n_docs"))).cast("long")
+          - length(bin(col("df"))).cast("long")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("tok"), col("occ"),
+        col("df"), col("score"))
+  }
+
+  /** First-round BPE merge statistics (Sennrich et al. 2016): corpus-wide
+    * adjacent character-pair frequencies, computed the way BPE training
+    * actually does — aggregate the WORD VOCABULARY with frequencies
+    * first, then explode each distinct word's pairs once weighted by its
+    * corpus count. At 100 TB the vocab frame is orders of magnitude
+    * smaller than the token stream, so the char-level explode touches
+    * each distinct word once instead of once per occurrence. Counts are
+    * exact integers; the top-N ordering (cnt desc, pair asc) is total,
+    * so the emitted merge table carries a full hash oracle. */
+  def bpePairStats(docs: DataFrame, topN: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val words = filter(split(lower(col(textCol)), "\\s+"), w => length(w) >= 2)
+    val vocab = docs.select(explode(words).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val pairs = vocab.select(col("wc"),
+      explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+    pairs.groupBy("pair").agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topN)
+  }
+
+  /** Collocation mining (word2vec-phrases style): corpus bigrams scored
+    * by integer-quantized PMI — pmi_bits = bitlen(cnt_xy * N) -
+    * bitlen(cnt_x * cnt_y), the bin()-length log2 of
+    * p(xy) / (p(x) p(y)). Bigrams are within-document adjacent token
+    * pairs (zip of the token array with its own tail — one narrow
+    * projection, no self-join); unigram counts join in twice. Emits
+    * bigrams with cnt >= minCount ordered (cnt desc, bigram asc), capped
+    * at topN — exact integers end-to-end, full hash oracle. */
+  def phrasePmi(docs: DataFrame, minCount: Int = 3, topN: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0)
+    val withToks = docs.select(toks.as("t"))
+    val bigrams = withToks
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
+        slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
+        (a, b) => struct(a.as("x"), b.as("y")))).as("bg"))
+      .select(col("bg.x").as("x"), col("bg.y").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("cnt_xy"))
+      .filter(col("cnt_xy") >= minCount)
+    val uni = withToks.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val nTotal = withToks.select(sum(size(col("t")).cast("long")).as("n_total"))
+    bigrams
+      .join(uni.select(col("tok").as("x"), col("cnt").as("cnt_x")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("cnt").as("cnt_y")), Seq("y"))
+      .crossJoin(broadcast(nTotal))
+      .select(
+        concat(col("x"), lit(" "), col("y")).as("bigram"),
+        col("cnt_xy").as("cnt"),
+        (length(bin(col("cnt_xy") * col("n_total"))).cast("long")
+          - length(bin(col("cnt_x") * col("cnt_y"))).cast("long")).as("pmi_bits"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(topN)
+  }
+
   // ---- PII scrubbing (training-data hygiene) ----
 
   /** Patterns chosen from the Java-regex ∩ RE2 common subset (no
