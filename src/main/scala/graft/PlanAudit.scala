@@ -29,7 +29,8 @@ object PlanAudit {
       "q57_corpus_stats", "q58_integrity_audit", "q59_decontaminate",
       "q60_repetition", "q61_quantized_knn", "q62_freq_quality", "kg_bgp",
       "kg_bgp_optional", "kg_ntriples", "kg_pagerank", "q63_dup_ngrams",
-      "kg_provenance", "q64_seq_packing")
+      "kg_provenance", "q64_seq_packing", "q65_tfidf_topk",
+      "q66_bpe_pairs", "q67_phrase_pmi", "kg_labelprop", "kg_degree_dist")
     val sb = new StringBuilder
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)

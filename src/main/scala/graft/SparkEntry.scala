@@ -1597,7 +1597,11 @@ object SparkEntry {
       |  COALESCE(list_min([j for j in range(1, length(c) + 1)
       |    if NOT list_contains(['"','''','(','[','{',chr(8220),chr(8221),chr(8216),chr(8217),chr(171)], substr(c, CAST(j AS INTEGER), 1))]), length(c) + 1) - 1 AS nlead
       |  FROM chunks),
-      |core0 AS (SELECT doc_id, ci, c, nlead, substr(c, nlead + 1) AS c1, length(c) - nlead AS m1 FROM lead),
+      |lead2 AS (SELECT doc_id, ci, c, m,
+      |  COALESCE(list_min([j for j in range(0, nlead + 1)
+      |    if regexp_matches(substr(c, CAST(j + 1 AS INTEGER)), '^''(s|re|ve|ll|d|m)$', 'i')]), nlead) AS nlead
+      |  FROM lead),
+      |core0 AS (SELECT doc_id, ci, c, nlead, substr(c, nlead + 1) AS c1, length(c) - nlead AS m1 FROM lead2),
       |core1 AS (SELECT doc_id, ci, c, nlead, c1, m1,
       |  COALESCE(list_max([L for L in range(1, m1 + 1)
       |    if NOT list_contains(['.',',',';',':','!','?','"','''',')',']','}',chr(8220),chr(8221),chr(8216),chr(8217),chr(187)], substr(c1, CAST(L AS INTEGER), 1))

@@ -82,6 +82,11 @@ object Text {
     */
   private val Whitespace = java.util.regex.Pattern.compile("\\s+")
   private val AcronymRe = java.util.regex.Pattern.compile("([A-Za-z]\\.)+")
+  // a chunk that IS a clitic ('s / 're / 've / 'll / 'd / 'm, any case)
+  // keeps its apostrophe: it is the token the contraction split below
+  // emits, so re-tokenizing it must be the identity (idempotence)
+  private val CliticRe =
+    java.util.regex.Pattern.compile("(?i)'(s|re|ve|ll|d|m)")
 
   def tokenize(raw: String): Seq[String] = {
     if (raw == null) return Seq.empty
@@ -95,7 +100,8 @@ object Text {
       var done = false
       while (!done && chunk.nonEmpty) {
         val c = chunk.charAt(0)
-        if ("\"'([{“”‘’«".indexOf(c.toInt) >= 0) {
+        if ("\"'([{“”‘’«".indexOf(c.toInt) >= 0 &&
+            !CliticRe.matcher(chunk).matches()) {
           lead += c.toString; chunk = chunk.substring(1)
         } else done = true
       }

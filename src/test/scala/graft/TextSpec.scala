@@ -80,6 +80,16 @@ class TextSpec extends AnyFunSuite {
     assert(Text.tokenize("line\nbreak") == Seq("line", "break"))
   }
 
+  test("tokenizer is idempotent on clitic tokens (standalone 's keeps its quote)") {
+    // re-tokenizing the "'s" the contraction split emits must be identity
+    for (t <- Seq("'s", "'S", "'re", "'ve", "'ll", "'d", "'m"))
+      assert(Text.tokenize(t) == Seq(t), s"clitic $t")
+    assert(Text.tokenize("wu'S") == Seq("wu", "'S"))
+    assert(Text.tokenize("''s") == Seq("'", "'s")) // strip stops AT the clitic
+    assert(Text.tokenize("'hello") == Seq("'", "hello")) // non-clitic unchanged
+    assert(Text.tokenize("'so") == Seq("'", "so")) // prefix of no clitic rule
+  }
+
   test("tokenizer round-trips every generated gold sentence") {
     for (i <- 0L until 80L) {
       val repo = Synth.repoOf(i)
