@@ -124,6 +124,52 @@ class CurationGraphSpec extends AnyFunSuite {
     assert(out.values.toSet == Set("a"))
   }
 
+  // ---- plan-shape pins (the 100 TB discipline, not just correctness) ----
+
+  test("q65 plan: per-partition top-k pruning (WindowGroupLimit) before the rank shuffle") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.tfidfTopK(docs, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown; plan:\n${plan.take(800)}")
+  }
+
+  test("q66 plan: distributed top-N (TakeOrderedAndProject), never a global Sort+Limit") {
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val plan = TextAnalysis.bpePairStats(docs, topN = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject; plan:\n${plan.take(800)}")
+  }
+
+  test("labelProp: random graphs at iters >= diameter match local union-find components") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 8 + rnd.nextInt(8)
+      val es = (1 to (n + rnd.nextInt(n))).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}") }
+        .filter { case (a, b) => a != b }
+      if (es.nonEmpty) {
+        // local union-find reference
+        val parent = scala.collection.mutable.Map.empty[String, String]
+        def find(x: String): String = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+        }
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val expected = nodes.groupBy(find).flatMap { case (_, vs) =>
+          val m = vs.min; vs.map(_ -> m) }.toMap
+        val got = graft.kg.Triples.labelProp(es.toDF("s", "o"), iters = n)
+          .as[(String, String)].collect().toMap
+        assert(got == expected, s"trial $trial: $got != $expected")
+      }
+    }
+  }
+
   // ---- degree distribution ----
 
   test("nodeDegrees + degreeHistogram: hand-computed full-outer merge") {
