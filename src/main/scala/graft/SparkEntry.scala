@@ -1420,6 +1420,34 @@ object SparkEntry {
       TextAnalysis.phrasePmi(t(s, dir, "documents"),
         minCount = 3, topN = 100)),
 
+    "q68_sessionize" -> ((s, dir) =>
+      // gap-based sessionization over the event stream (30-min gap, the
+      // batch twin of streaming session windows): per-user lag +
+      // running-sum windows + one aggregate, all on the SAME user_id
+      // partitioning — one Exchange end-to-end. Exact microsecond
+      // integer timestamps both sides, so the full session layout
+      // carries a hash oracle; ties break on event_id.
+      graft.ops.Sessions.sessionize(t(s, dir, "events"))
+        .orderBy("user_id", "session_idx")),
+
+    "q69_rollup" -> ((s, dir) =>
+      // OLAP grouping-sets surface (the Expand-operator family):
+      // rollup over (returnflag, linestatus) with grouping_id
+      // disambiguating the NULL-as-total levels — subtotals and grand
+      // total in ONE pass over the scan (Spark expands rows, partial
+      // aggregation still applies map-side).
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select(col("gid"),
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n_rows"), col("sum_qty"))
+        .orderBy(col("gid"), col("returnflag"), col("linestatus"))),
+
     "q63_dup_ngrams" -> ((s, dir) =>
       // cross-document duplicated word-10-gram audit (the exact-substring
       // dedup signal, Lee et al. 2022 ExactSubstr at word-gram
@@ -1601,37 +1629,48 @@ object SparkEntry {
       |  COALESCE(list_min([j for j in range(0, nlead + 1)
       |    if regexp_matches(substr(c, CAST(j + 1 AS INTEGER)), '^''(s|re|ve|ll|d|m)$', 'i')]), nlead) AS nlead
       |  FROM lead),
-      |core0 AS (SELECT doc_id, ci, c, nlead, substr(c, nlead + 1) AS c1, length(c) - nlead AS m1 FROM lead2),
-      |core1 AS (SELECT doc_id, ci, c, nlead, c1, m1,
-      |  COALESCE(list_max([L for L in range(1, m1 + 1)
-      |    if NOT list_contains(['.',',',';',':','!','?','"','''',')',']','}',chr(8220),chr(8221),chr(8216),chr(8217),chr(187)], substr(c1, CAST(L AS INTEGER), 1))
-      |       OR (substr(c1, CAST(L AS INTEGER), 1) = '.' AND regexp_matches(substr(c1, 1, CAST(L AS INTEGER)), '^([A-Za-z]\.)+$'))]), 0) AS mcore
-      |  FROM core0),
-      |split1 AS (SELECT doc_id, ci, c, nlead, c1, m1, mcore,
-      |  substr(c1, 1, mcore) AS core,
-      |  lower(substr(c1, 1, mcore)) AS lowcore
-      |  FROM core1),
-      |parts AS (SELECT doc_id, ci, c, nlead, c1, m1, mcore,
-      |  CASE WHEN mcore = 0 THEN []
-      |       WHEN lowcore LIKE '%n''t' AND mcore > 3
-      |         THEN [x for x in [substr(core, 1, mcore - 3), substr(core, mcore - 2)] if x <> '']
-      |       WHEN (lowcore LIKE '%''s' OR lowcore LIKE '%''re' OR lowcore LIKE '%''ve'
-      |             OR lowcore LIKE '%''ll' OR lowcore LIKE '%''d' OR lowcore LIKE '%''m')
-      |            AND strpos(reverse(core), '''') > 0
-      |            AND mcore - strpos(reverse(core), '''') + 1 > 1
-      |         THEN [x for x in [substr(core, 1, mcore - strpos(reverse(core), '''')),
-      |                           substr(core, mcore - strpos(reverse(core), '''') + 1)] if x <> '']
-      |       ELSE [core] END AS plist
-      |  FROM split1),
+      |core0 AS (SELECT doc_id, ci, c, nlead, substr(c, nlead + 1) AS c1 FROM lead2),
+      |peel AS (
+      |  SELECT doc_id, ci, c, nlead, c1 AS rest, []::VARCHAR[] AS sufs, (c1 = '') AS done FROM core0
+      |  UNION ALL
+      |  SELECT doc_id, ci, c, nlead,
+      |    CASE WHEN plen > 0 THEN substr(stripped, 1, CAST(plen AS INTEGER)) ELSE stripped END AS rest,
+      |    (CASE WHEN plen > 0 THEN [substr(stripped, CAST(plen + 1 AS INTEGER))] ELSE []::VARCHAR[] END)
+      |      || ttoks || sufs AS sufs,
+      |    plen = 0 AS done
+      |  FROM (
+      |    SELECT doc_id, ci, c, nlead, sufs, stripped, ttoks,
+      |      CASE WHEN lower(stripped) LIKE '%n''t' AND length(stripped) > 3
+      |             THEN length(stripped) - 3
+      |           WHEN (lower(stripped) LIKE '%''s' OR lower(stripped) LIKE '%''re'
+      |                 OR lower(stripped) LIKE '%''ve' OR lower(stripped) LIKE '%''ll'
+      |                 OR lower(stripped) LIKE '%''d' OR lower(stripped) LIKE '%''m')
+      |                AND strpos(reverse(stripped), '''') > 0
+      |                AND length(stripped) - strpos(reverse(stripped), '''') > 0
+      |             THEN length(stripped) - strpos(reverse(stripped), '''')
+      |           ELSE 0 END AS plen
+      |    FROM (
+      |      SELECT doc_id, ci, c, nlead, sufs,
+      |        substr(rest, 1, CAST(mcore AS INTEGER)) AS stripped,
+      |        [substr(rest, CAST(j AS INTEGER), 1) for j in range(mcore + 1, length(rest) + 1)] AS ttoks
+      |      FROM (
+      |        SELECT doc_id, ci, c, nlead, rest, sufs,
+      |          COALESCE(list_max([L for L in range(1, length(rest) + 1)
+      |            if NOT list_contains(['.',',',';',':','!','?','"','''',')',']','}',chr(8220),chr(8221),chr(8216),chr(8217),chr(187)], substr(rest, CAST(L AS INTEGER), 1))
+      |               OR (substr(rest, CAST(L AS INTEGER), 1) = '.' AND regexp_matches(substr(rest, 1, CAST(L AS INTEGER)), '^([A-Za-z]\.)+$'))]), 0) AS mcore
+      |        FROM peel WHERE NOT done)
+      |    )
+      |  )
+      |),
       |toks AS (SELECT doc_id, ci,
       |  [substr(c, CAST(j AS INTEGER), 1) for j in range(1, nlead + 1)]
-      |  || plist
-      |  || [substr(c1, CAST(j AS INTEGER), 1) for j in range(mcore + 1, m1 + 1)] AS tl
-      |  FROM parts),
+      |  || (CASE WHEN rest = '' THEN []::VARCHAR[] ELSE [rest] END)
+      |  || sufs AS tl
+      |  FROM peel WHERE done),
       |perdoc AS (SELECT doc_id, flatten(list(tl ORDER BY ci)) AS alltoks FROM toks GROUP BY doc_id)""".stripMargin
 
   private val q36TokenizeSql: String =
-    "WITH " + docTokCtes + "\n" +
+    "WITH RECURSIVE " + docTokCtes + "\n" +
       """SELECT doc_id, CAST(unnest(range(1, len(alltoks) + 1)) - 1 AS INTEGER) AS tok_idx,
         |       unnest(alltoks) AS token
         |FROM perdoc ORDER BY doc_id, tok_idx""".stripMargin
@@ -2772,6 +2811,37 @@ object SparkEntry {
         |FROM bgc JOIN uni ux ON ux.tok = bgc.x
         |         JOIN uni uy ON uy.tok = bgc.y, tot
         |ORDER BY cnt DESC, bigram LIMIT 100""".stripMargin,
+
+    // q68: identical gap/running-sum windows — epoch_us matches
+    // unix_micros exactly (integer microseconds, UTC both sides).
+    "q68_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events),
+        |g AS (SELECT user_id, event_id, tsu,
+        |    CASE WHEN lag(tsu) OVER w IS NULL
+        |           OR tsu - lag(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+        |s AS (SELECT user_id, tsu,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx::BIGINT AS session_idx,
+        |  COUNT(*)::BIGINT AS n_events,
+        |  MIN(tsu)::BIGINT AS start_us, MAX(tsu)::BIGINT AS end_us,
+        |  (MAX(tsu) - MIN(tsu))::BIGINT AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    // q69: GROUP BY ROLLUP with the same GROUPING bitmask convention
+    // (first column = most significant bit) and NULLs coalesced to the
+    // same sentinel; quantities cast to BIGINT pre-sum (integral
+    // doubles), exact both sides.
+    "q69_rollup" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+        |  COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  COUNT(*)::BIGINT AS n_rows,
+        |  SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
 
     // q63: the same gram construction relationally — list slicing for
     // the 10-grams, HAVING count(DISTINCT doc_id) >= 2 for the cross-doc

@@ -105,39 +105,46 @@ object Text {
           lead += c.toString; chunk = chunk.substring(1)
         } else done = true
       }
-      // trailing punctuation (repeatedly), but keep dotted acronyms and
-      // numbers with a trailing period attached to a digit? No — final
-      // period always splits unless part of an acronym like "U.S."
-      done = false
-      while (!done && chunk.nonEmpty) {
-        val c = chunk.charAt(chunk.length - 1)
-        val isPunct = ".,;:!?\"')]}“”‘’»".indexOf(c.toInt) >= 0
-        if (isPunct) {
-          val isAcronym = c == '.' && AcronymRe.matcher(chunk).matches()
-          val isDecimalTail = (c == ',' || c == '.') && false
-          if (isAcronym || isDecimalTail) done = true
-          else { trail.prepend(c.toString); chunk = chunk.dropRight(1) }
-        } else done = true
-      }
-      // contractions
-      val parts: Seq[String] =
-        if (chunk.isEmpty) Seq.empty
-        else {
-          val lower = chunk.toLowerCase
-          if (lower.endsWith("n't") && chunk.length > 3)
-            Seq(chunk.dropRight(3), chunk.takeRight(3))
-          else if ((lower.endsWith("'s") || lower.endsWith("'re") ||
-              lower.endsWith("'ve") || lower.endsWith("'ll") ||
-              lower.endsWith("'d") || lower.endsWith("'m")) && {
-                val idx = chunk.lastIndexOf('\'')
-                idx > 0
-              }) {
-            val idx = chunk.lastIndexOf('\'')
-            Seq(chunk.substring(0, idx), chunk.substring(idx))
-          } else Seq(chunk)
+      // ITERATED PEEL: trailing punctuation and clitic splits interact —
+      // the pre part of a clitic split can end with punctuation that must
+      // strip ("Qd\"'s" → Qd " 's), and can itself end in another clitic
+      // ("x's's" → x 's 's) — so loop until stable. Every emitted token
+      // is then a FIXED POINT of tokenize (the idempotence property).
+      // Trailing-punct rules: final period always splits unless part of
+      // an acronym like "U.S."; `trail` holds peeled pieces in-string
+      // order (each peel prepends, strips walk right-to-left).
+      var peeling = true
+      while (peeling) {
+        peeling = false
+        // trailing punctuation (repeatedly)
+        val tp = ArrayBuffer.empty[String]
+        done = false
+        while (!done && chunk.nonEmpty) {
+          val c = chunk.charAt(chunk.length - 1)
+          val isPunct = ".,;:!?\"')]}“”‘’»".indexOf(c.toInt) >= 0
+          if (isPunct) {
+            val isAcronym = c == '.' && AcronymRe.matcher(chunk).matches()
+            if (isAcronym) done = true
+            else { tp.prepend(c.toString); chunk = chunk.dropRight(1) }
+          } else done = true
         }
+        trail.prependAll(tp)
+        // contractions (the clitic peels, the loop re-checks the pre part)
+        val lower = chunk.toLowerCase
+        if (lower.endsWith("n't") && chunk.length > 3) {
+          trail.prepend(chunk.takeRight(3)); chunk = chunk.dropRight(3)
+          peeling = true
+        } else if ((lower.endsWith("'s") || lower.endsWith("'re") ||
+            lower.endsWith("'ve") || lower.endsWith("'ll") ||
+            lower.endsWith("'d") || lower.endsWith("'m")) &&
+            chunk.lastIndexOf('\'') > 0) {
+          val idx = chunk.lastIndexOf('\'')
+          trail.prepend(chunk.substring(idx)); chunk = chunk.substring(0, idx)
+          peeling = true
+        }
+      }
       out ++= lead
-      out ++= parts.filter(_.nonEmpty)
+      if (chunk.nonEmpty) out += chunk
       out ++= trail
     }
     out.toSeq

@@ -90,6 +90,25 @@ class TextSpec extends AnyFunSuite {
     assert(Text.tokenize("'so") == Seq("'", "so")) // prefix of no clitic rule
   }
 
+  test("tokenizer iterated peel: punct/clitic interactions emit only fixed points") {
+    // pre part of a clitic split ending with punctuation re-strips
+    assert(Text.tokenize("""Qd"'s""") == Seq("Qd", "\"", "'s"))
+    // chained clitics peel one at a time
+    assert(Text.tokenize("x's's") == Seq("x", "'s", "'s"))
+    // acronym guard still holds for the peeled pre part
+    assert(Text.tokenize("U.S.'s") == Seq("U.S.", "'s"))
+    // clitic then trailing punct (in-string order preserved)
+    assert(Text.tokenize("Bob's.") == Seq("Bob", "'s", "."))
+    // n't pre part with punctuation
+    assert(Text.tokenize("do,n't") == Seq("do", ",", "n't"))
+    // apostrophe after the peel strips as trailing punct
+    assert(Text.tokenize("x''s") == Seq("x", "'", "'s"))
+    // every emitted token is a fixed point
+    for (s <- Seq("""E?,,Qd"'s""", "x's's", "Bob's.", "do,n't", "a\"'s's"))
+      for (t <- Text.tokenize(s))
+        assert(Text.tokenize(t) == Seq(t), s"token $t of $s not fixed")
+  }
+
   test("tokenizer round-trips every generated gold sentence") {
     for (i <- 0L until 80L) {
       val repo = Synth.repoOf(i)
