@@ -1448,6 +1448,35 @@ object SparkEntry {
           col("n_rows"), col("sum_qty"))
         .orderBy(col("gid"), col("returnflag"), col("linestatus"))),
 
+    "q70_cube" -> ((s, dir) =>
+      // CUBE completes the grouping-sets lattice q69 opened (all 2^n
+      // combinations via the same one-pass Expand): per (lang, source)
+      // cells plus both one-dim margins plus the grand total, with
+      // grouping_id disambiguating the NULL-as-total levels.
+      graft.ops.Stats.cubeDocStats(t(s, dir, "documents"))
+        .orderBy(col("gid"), col("lang"), col("source"))),
+
+    "q71_zorder" -> ((s, dir) =>
+      // Z-order data layout (the OPTIMIZE ZORDER analog): Morton-code
+      // interleave of (user bucket, hour bucket) via mask-ladder bit
+      // spreads — per-row integer projections, zero exchanges for the
+      // assignment — then one agg per file bucket proving the pruning
+      // property: every bucket spans <= 31 values in EACH dimension,
+      // the min/max column-stats bound a format would use to skip files.
+      graft.ops.Layout.zOrderLayout(t(s, dir, "events"))
+        .orderBy("file_bucket")),
+
+    "q72_sketch_distinct" -> ((s, dir) =>
+      // HLL++ cardinality sketch under a hash-oracled error-band
+      // contract (the q26-contract pattern lifted to a full oracle):
+      // the hashed row carries the exact distinct count and an
+      // integer-math flag that the sketch landed within 10% of it; the
+      // sketch's raw value (implementation-specific) never enters the
+      // hash. At 100 TB the sketch is the only viable distinct path —
+      // this audit is how you validate it on a sample first.
+      graft.ops.Stats.sketchDistinctAudit(t(s, dir, "events"))
+        .orderBy("event_type")),
+
     "q63_dup_ngrams" -> ((s, dir) =>
       // cross-document duplicated word-10-gram audit (the exact-substring
       // dedup signal, Lee et al. 2022 ExactSubstr at word-gram
@@ -2842,6 +2871,49 @@ object SparkEntry {
         |  SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY gid, returnflag, linestatus""".stripMargin,
+
+    // q70: GROUP BY CUBE with the same GROUPING bitmask and sentinel
+    // conventions as q69 — all-integer aggregates, exact both sides.
+    "q70_cube" ->
+      """SELECT GROUPING(lang, source)::BIGINT AS gid,
+        |  COALESCE(lang, 'ALL') AS lang,
+        |  COALESCE(source, 'ALL') AS source,
+        |  COUNT(*)::BIGINT AS n_docs,
+        |  SUM(n_chars)::BIGINT AS sum_chars,
+        |  MAX(n_chars)::BIGINT AS max_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY gid, lang, source""".stripMargin,
+
+    // q71: the identical mask-ladder Morton spread re-derived with
+    // BIGINT `<<`/`&`/`|` — exact integer math end-to-end; epoch_us //
+    // 3600000000 matches Spark's unix_micros div (positive timestamps).
+    "q71_zorder" ->
+      """WITH d AS (SELECT user_id % 1024 AS xb,
+        |    (epoch_us(ts) // 3600000000) % 1024 AS yb FROM events),
+        |s1 AS (SELECT xb, yb, ((xb | (xb << 8)) & 16711935) AS x,
+        |    ((yb | (yb << 8)) & 16711935) AS y FROM d),
+        |s2 AS (SELECT xb, yb, ((x | (x << 4)) & 252645135) AS x,
+        |    ((y | (y << 4)) & 252645135) AS y FROM s1),
+        |s3 AS (SELECT xb, yb, ((x | (x << 2)) & 858993459) AS x,
+        |    ((y | (y << 2)) & 858993459) AS y FROM s2),
+        |s4 AS (SELECT xb, yb, ((x | (x << 1)) & 1431655765) AS x,
+        |    ((y | (y << 1)) & 1431655765) AS y FROM s3),
+        |b AS (SELECT xb, yb, (x | (y << 1)) >> 10 AS file_bucket FROM s4)
+        |SELECT file_bucket::BIGINT AS file_bucket,
+        |  COUNT(*)::BIGINT AS n_rows,
+        |  MIN(xb)::BIGINT AS x_min, MAX(xb)::BIGINT AS x_max,
+        |  MIN(yb)::BIGINT AS y_min, MAX(yb)::BIGINT AS y_max,
+        |  (MAX(xb) - MIN(xb))::BIGINT AS x_span,
+        |  (MAX(yb) - MIN(yb))::BIGINT AS y_span
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q72: the oracle re-derives the exact distinct count and pins the
+    // contract flag to 1 — a sketch outside its 10% band fails the hash.
+    "q72_sketch_distinct" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id)::BIGINT AS n_exact,
+        |  1::BIGINT AS sketch_in_band
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q63: the same gram construction relationally — list slicing for
     // the 10-grams, HAVING count(DISTINCT doc_id) >= 2 for the cross-doc
