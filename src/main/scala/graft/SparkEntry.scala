@@ -83,6 +83,31 @@ object SparkEntry {
         coalesce(col("co"), col("o0")).as("o"))
   }
 
+  /** Canonical-lifted event co-occurrence edges — one undirected edge
+    * (s < o) per pair of canonical events attested in the same document.
+    * Events map through sameAs first, so coreferent mentions in many
+    * documents collapse to ONE node whose degree grows with its
+    * cross-document support — the hub structure kg_triangles'
+    * degree-oriented enumeration and kg_kcore's peel are built for
+    * (the temporal BEFORE graph is near-chain — max degree 2 at
+    * sf0.001 — and carries no triangles at all). The per-doc self-join
+    * is document-bounded (events per doc ≤ sentences × per-sentence
+    * events), so the pair fan-out is a constant factor of the corpus,
+    * never quadratic in it. */
+  private def liftedCooccurrenceEdges(tri: DataFrame): DataFrame = {
+    val canon = tri.filter(col("pred") === "sameAs")
+      .select(col("subj").as("e"), col("obj").as("canon"))
+    val dv = tri.filter(col("pred") === "hasType")
+      .select(col("subj").as("e")).distinct()
+      .join(canon, Seq("e"), "left")
+      .select(substring_index(col("e"), "#L", 1).as("doc"),
+        coalesce(col("canon"), col("e")).as("v"))
+      .distinct()
+    dv.as("a").join(dv.as("b"),
+        col("a.doc") === col("b.doc") && col("a.v") < col("b.v"))
+      .select(col("a.v").as("s"), col("b.v").as("o")).distinct()
+  }
+
   /** Unique memory-sink names for q56's streaming replay (one per call —
     * memory sinks are session-registered tables). */
   private val q56Counter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -1395,6 +1420,33 @@ object SparkEntry {
         triplesFor(s, dir).select("subj", "pred", "obj"))
         .orderBy("degree")),
 
+    "kg_triangles" -> ((s, dir) =>
+      // per-node triangle counts over the canonical-lifted event
+      // co-occurrence graph — the clustering-structure audit (triangle
+      // count is the numerator of the clustering coefficient; it
+      // profiles how clique-like each canonical event's neighborhood is
+      // before a downstream blocking join). Degree-oriented wedge
+      // enumeration (Triples.triangleCounts): each undirected edge kept
+      // once, directed low-(deg,id) → high, so a hub's wedge fan-out is
+      // O(√m) — the skew-proof 100-TB shape, and the sameAs lift makes
+      // real hubs (max degree 14 at sf0.001 → 40 at sf0.01; the
+      // temporal BEFORE graph by contrast is near-chain, max degree 2,
+      // and carries no triangles at all).
+      Triples.triangleCounts(liftedCooccurrenceEdges(triplesFor(s, dir)))
+        .orderBy("node")),
+
+    "kg_kcore" -> ((s, dir) =>
+      // 3-round 6-core peel over the same lifted graph — the KG
+      // denoising filter (events attached only through sub-k
+      // co-occurrence tendrils fall away; the densely-attested core
+      // survives with its residual degree). Bounded rounds — NOT the
+      // fixpoint — so the recurrence unrolls exactly in SQL, and the
+      // cascade is real at both verify scales (round 2 peels nodes
+      // that round 1's drops exposed).
+      Triples.kCorePeel(liftedCooccurrenceEdges(triplesFor(s, dir)),
+        k = 6, rounds = 3)
+        .orderBy("node")),
+
     "q65_tfidf_topk" -> ((s, dir) =>
       // TF-IDF top-5 terms per document with the bin()-length
       // integer-quantized idf (exact integers end-to-end — a float log
@@ -1635,6 +1687,22 @@ object SparkEntry {
       "WHERE filename LIKE '%/n' || (SELECT CASE count(*) " +
       "WHEN 6000 THEN '60_s6' WHEN 60000 THEN '600_s6' " +
       "WHEN 600000 THEN '6000_s8' ELSE 'unknown' END FROM lineitem) || '/%') "
+
+  /** The canonical-lifted event co-occurrence graph (the SQL mirror of
+    * liftedCooccurrenceEdges — same sameAs lift as the
+    * kg_pagerank/kg_labelprop oracles, same `str_split(id, '#L')[1]`
+    * doc prefix as the kg_timeline oracle) followed by the undirected
+    * simple graph: the shared preamble of the kg_triangles and kg_kcore
+    * oracles. Ends at `und(s, o)` (a.v < b.v in the pair join, so no
+    * self-loops exist to drop). */
+  private val liftedUndirectedCte: String =
+    """, canon AS (SELECT subj AS ev, obj AS canon FROM gold WHERE pred = 'sameAs'),
+      |evs AS (SELECT DISTINCT subj AS e FROM gold WHERE pred = 'hasType'),
+      |dv AS (SELECT DISTINCT str_split(e.e, '#L')[1] AS doc, coalesce(c.canon, e.e) AS v
+      |       FROM evs e LEFT JOIN canon c ON c.ev = e.e),
+      |e AS (SELECT DISTINCT a.v AS s, b.v AS o FROM dv a
+      |      JOIN dv b ON a.doc = b.doc AND a.v < b.v),
+      |und AS (SELECT s, o FROM e UNION SELECT o, s FROM e)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -2788,6 +2856,44 @@ object SparkEntry {
           |       FROM od FULL JOIN ind ON od.node = ind.node)
           |SELECT degree::BIGINT AS degree, count(*)::BIGINT AS n_nodes
           |FROM nd GROUP BY 1 ORDER BY degree""".stripMargin),
+
+    // kg_triangles: the identical degree-oriented enumeration over the
+    // gold set — same lift, same (deg, id) total order (VARCHAR `<` is
+    // binary-lexicographic in both engines on these ASCII ids), same
+    // wedge-then-closing-edge join; each triangle counted once per
+    // member node. All-integer.
+    "kg_triangles" ->
+      (goldCte + liftedUndirectedCte +
+        """, dg AS (SELECT s AS v, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+          |ori AS (SELECT u.s AS a, u.o AS b FROM und u
+          |        JOIN dg ds ON ds.v = u.s JOIN dg dd ON dd.v = u.o
+          |        WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND u.s < u.o)),
+          |w AS (SELECT e1.a, e1.b AS x, e2.b AS y
+          |      FROM ori e1 JOIN ori e2 ON e1.a = e2.a AND e1.b <> e2.b),
+          |t AS (SELECT w.a, w.x, w.y FROM w
+          |      JOIN ori cl ON cl.a = w.x AND cl.b = w.y),
+          |m AS (SELECT a AS node FROM t
+          |      UNION ALL SELECT x FROM t UNION ALL SELECT y FROM t)
+          |SELECT node, count(*)::BIGINT AS n_tri
+          |FROM m GROUP BY node ORDER BY node""".stripMargin),
+
+    // kg_kcore: the 3-round k=6 peel unrolled exactly (the labelprop
+    // convention for bounded-round recurrences) — per round, degrees
+    // over the surviving edge set, then both endpoints filtered to
+    // deg >= 6. All-integer.
+    "kg_kcore" ->
+      (goldCte + liftedUndirectedCte +
+        (1 to 3).map { r =>
+          val prev = if (r == 1) "und" else s"u${r - 1}"
+          s""",
+             |d$r AS (SELECT s AS v, count(*)::BIGINT AS deg FROM $prev GROUP BY 1),
+             |k$r AS (SELECT v FROM d$r WHERE deg >= 6),
+             |u$r AS (SELECT s, o FROM $prev
+             |        WHERE s IN (SELECT v FROM k$r) AND o IN (SELECT v FROM k$r))""".stripMargin
+        }.mkString +
+        """
+          |SELECT s AS node, count(*)::BIGINT AS deg
+          |FROM u3 GROUP BY 1 ORDER BY node""".stripMargin),
 
     // q65: the same per-(doc,token) combine / df aggregate / bin()-length
     // integer idf / per-doc row_number ranking — same ws-token and

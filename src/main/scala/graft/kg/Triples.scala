@@ -393,6 +393,95 @@ object Triples {
     nodeDegrees(triples)
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
 
+  /** Undirected simple graph from a directed edge frame `(s, o)`:
+    * self-loops dropped, both directions present, duplicates removed,
+    * lineage truncated once — the shared preamble of [[triangleCounts]]
+    * and [[kCorePeel]]. */
+  private def symmetrize(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("s"), col("o"))
+      .filter(col("s") =!= col("o"))
+    und.unionByName(und.select(col("o").as("s"), col("s").as("o")))
+      .distinct().localCheckpoint()
+  }
+
+  /** Per-node triangle counts over the undirected simple graph of
+    * `edges(s, o)` — the KG clustering-structure audit (a node's
+    * triangle count is the numerator of its clustering coefficient;
+    * together with [[nodeDegrees]] it profiles how clique-like each
+    * entity's neighborhood is before a downstream blocking join).
+    *
+    * Degree-oriented enumeration (the standard skew-proof shape): every
+    * undirected edge is kept ONCE, directed from its (degree, id)-smaller
+    * endpoint to its larger one. A triangle {x < y < z} under that total
+    * order is then enumerated exactly once — as the wedge (x→y, x→z)
+    * closed by the edge y→z. Orientation bounds any node's out-degree by
+    * O(√m) regardless of how hubby the raw graph is, so the wedge
+    * self-join — the only superlinear step — never explodes on a hub the
+    * way a naive neighbor-join would: this is what makes the plan hold
+    * on a power-law 100-TB graph. Two shuffles after the preamble (wedge
+    * join keyed by apex, closing join keyed by the (y, z) pair), both
+    * hash joins over all-string keys; counts are exact integers, so the
+    * result carries a full hash oracle.
+    *
+    * Nodes in no triangle are absent (count them as 0 via a left join
+    * with [[nodeDegrees]] if needed). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val sym = symmetrize(edges)
+    val deg = sym.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+    // total order: (deg, id) — ties broken by the node id string
+    val withDeg = sym
+      .join(deg.select(col("v").as("s"), col("deg").as("sd")), Seq("s"))
+      .join(deg.select(col("v").as("o"), col("deg").as("od")), Seq("o"))
+    val oriented = withDeg
+      .filter(col("sd") < col("od") ||
+        (col("sd") === col("od") && col("s") < col("o")))
+      .select(col("s").as("a"), col("o").as("b"))
+      .localCheckpoint()
+    // wedges at apex a: unordered leg pairs appear in both (x,y) orders;
+    // the closing join against the ONE oriented direction of the (x,y)
+    // edge therefore matches each triangle exactly once.
+    val wedges = oriented.select(col("a"), col("b").as("x"))
+      .join(oriented.select(col("a"), col("b").as("y")), Seq("a"))
+      .filter(col("x") =!= col("y"))
+    val tris = wedges
+      .join(oriented.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"))
+    tris.select(explode(array(col("a"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Bounded-round k-core peel over the undirected simple graph of
+    * `edges(s, o)`: `rounds` times, drop every node whose current degree
+    * is below `k` (and the edges it carried), then report the survivors
+    * with their residual degrees. After diameter-many rounds this IS the
+    * k-core — the standard KG denoising filter (peripheral entities that
+    * only attach to the graph through sub-k tendrils fall away, the
+    * densely-attested core remains); at a fixed round count it is the
+    * incremental per-snapshot peel a publishing pipeline runs, and the
+    * fixed-round recurrence unrolls exactly in SQL (the [[labelProp]]
+    * discipline). One degree-aggregate plus two semi-joins per round —
+    * all hash-partitioned on the node key, no driver-side iteration
+    * state beyond the loop counter — with an eager localCheckpoint per
+    * round so the plan stays flat at any round count; at cluster scale
+    * each round's survivor edge set is a committed table. All-integer
+    * output `(node, deg)` → full hash oracle. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var alive = symmetrize(edges)
+    for (_ <- 1 to rounds) {
+      val keep = alive.groupBy(col("s").as("v"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("v"))
+      alive = alive
+        .join(keep.withColumnRenamed("v", "s"), Seq("s"), "left_semi")
+        .join(keep.withColumnRenamed("v", "o"), Seq("o"), "left_semi")
+        .select(col("s"), col("o"))
+        .localCheckpoint()
+    }
+    alive.groupBy(col("s").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Serialize `(subj, pred, obj)` to W3C N-Triples lines — the
     * standard RDF interchange sink a KG-construction pipeline publishes
     * (any triple store / SPARQL engine ingests it directly). Subjects

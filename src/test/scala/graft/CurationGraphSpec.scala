@@ -220,4 +220,80 @@ class CurationGraphSpec extends AnyFunSuite {
       .orderBy("degree").as[(Long, Long)].collect().toSeq
     assert(hist == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
+
+  // ---- triangle counts (degree-oriented) ----
+
+  private def triMap(edges: Seq[(String, String)]): Map[String, Long] =
+    Triples.triangleCounts(edges.toDF("s", "o"))
+      .as[(String, Long)].collect().toMap
+
+  test("triangleCounts: one triangle + pendant + isolated edge") {
+    // triangle {a,b,c}; d hangs off c; e-f is triangle-free
+    val m = triMap(Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("c", "d"), ("e", "f")))
+    assert(m == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("triangleCounts: K4 — all degrees equal, id tie-break; 3 per node") {
+    val vs = Seq("a", "b", "c", "d")
+    val k4 = for { x <- vs; y <- vs if x < y } yield (x, y)
+    assert(triMap(k4) == vs.map(_ -> 3L).toMap)
+  }
+
+  test("triangleCounts: hub graph; self-loops, duplicates, reversed edges collapse") {
+    // hub h with spokes x1..x4; x1-x2 and x3-x4 close two triangles.
+    // Noise: self-loop, duplicate spoke, reversed spoke — the simple
+    // graph is the same, so counts must not change.
+    val clean = Seq(("h", "x1"), ("h", "x2"), ("h", "x3"), ("h", "x4"),
+      ("x1", "x2"), ("x3", "x4"))
+    val noisy = clean ++ Seq(("h", "h"), ("h", "x1"), ("x1", "h"))
+    val want = Map("h" -> 2L, "x1" -> 1L, "x2" -> 1L,
+      "x3" -> 1L, "x4" -> 1L)
+    assert(triMap(clean) == want)
+    assert(triMap(noisy) == want)
+  }
+
+  test("triangleCounts: two triangles sharing edge b-c") {
+    val m = triMap(Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("b", "d"), ("c", "d")))
+    assert(m == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+  }
+
+  test("triangleCounts: partitioning-independent") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+      ("d", "e"), ("c", "e"), ("e", "f"))
+    val one = Triples.triangleCounts(edges.toDF("s", "o").coalesce(1))
+      .as[(String, Long)].collect().toMap
+    val many = Triples.triangleCounts(edges.toDF("s", "o").repartition(7))
+      .as[(String, Long)].collect().toMap
+    assert(one == many)
+    assert(one == Map("a" -> 1L, "b" -> 1L, "c" -> 2L,
+      "d" -> 1L, "e" -> 1L))
+  }
+
+  // ---- bounded-round k-core peel ----
+
+  test("kCorePeel: triangle + tail peels inward round by round") {
+    // a-b-c triangle, chain c-d-e. k=2:
+    //   round 1 drops e (deg 1); round 2 drops d (deg fell to 1);
+    //   round 3 is a fixpoint — the 2-core {a,b,c} with residual deg 2.
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("c", "d"), ("d", "e")).toDF("s", "o")
+    val r1 = Triples.kCorePeel(edges, k = 2, rounds = 1)
+      .as[(String, Long)].collect().toMap
+    // after ONE round d survives with residual degree 1 — the bounded-
+    // round semantics the SQL oracle unrolls (not yet the fixpoint core)
+    assert(r1 == Map("a" -> 2L, "b" -> 2L, "c" -> 3L, "d" -> 1L))
+    val r3 = Triples.kCorePeel(edges, k = 2, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(r3 == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+  }
+
+  test("kCorePeel: star graph empties at k=2; survives whole at k=1") {
+    val star = Seq(("h", "x1"), ("h", "x2"), ("h", "x3")).toDF("s", "o")
+    assert(Triples.kCorePeel(star, k = 2, rounds = 2).count() == 0L)
+    val k1 = Triples.kCorePeel(star, k = 1, rounds = 3)
+      .as[(String, Long)].collect().toMap
+    assert(k1 == Map("h" -> 3L, "x1" -> 1L, "x2" -> 1L, "x3" -> 1L))
+  }
 }
