@@ -32,7 +32,8 @@ object PlanAudit {
       "kg_provenance", "q64_seq_packing", "q65_tfidf_topk",
       "q66_bpe_pairs", "q67_phrase_pmi", "kg_labelprop", "kg_degree_dist",
       "q68_sessionize", "q69_rollup", "q70_cube", "q71_zorder",
-      "q72_sketch_distinct", "kg_triangles", "kg_kcore")
+      "q72_sketch_distinct", "kg_triangles", "kg_kcore",
+      "kg_edge_jaccard")
     val sb = new StringBuilder
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)

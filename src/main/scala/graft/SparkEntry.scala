@@ -1447,6 +1447,20 @@ object SparkEntry {
         k = 6, rounds = 3)
         .orderBy("node")),
 
+    "kg_edge_jaccard" -> ((s, dir) =>
+      // per-edge common-neighbor support + integer-quantized
+      // neighborhood Jaccard over the same lifted graph — the linking
+      // pipeline's cheap candidate filter between blocking and full
+      // pairwise scoring (north-star stage: "blocking … then pairwise
+      // similarity scoring"); common is also the edge's k-truss
+      // support, the edge-level denoising analog of kg_kcore.
+      // Triangle re-attribution reuses the degree-oriented enumeration
+      // (Triples.edgeJaccard), so the O(√m) hub bound carries over;
+      // ⌊100·common/u⌋ via integral div keeps the output exact
+      // integers end-to-end → full hash oracle.
+      Triples.edgeJaccard(liftedCooccurrenceEdges(triplesFor(s, dir)))
+        .orderBy("s", "o")),
+
     "q65_tfidf_topk" -> ((s, dir) =>
       // TF-IDF top-5 terms per document with the bin()-length
       // integer-quantized idf (exact integers end-to-end — a float log
@@ -2894,6 +2908,34 @@ object SparkEntry {
         """
           |SELECT s AS node, count(*)::BIGINT AS deg
           |FROM u3 GROUP BY 1 ORDER BY node""".stripMargin),
+
+    // kg_edge_jaccard: the same oriented triangle enumeration as
+    // kg_triangles, each triangle re-attributed to its three
+    // least/greatest-normalized edges; common-neighbor count left-joined
+    // onto the s<o edge list (triangle-free edges → 0), union by
+    // inclusion-exclusion over und-degrees, ⌊100·common/u⌋ via DuckDB's
+    // integral `//` (Spark side uses integral div()). All-integer.
+    "kg_edge_jaccard" ->
+      (goldCte + liftedUndirectedCte +
+        """, dg AS (SELECT s AS v, count(*)::BIGINT AS deg FROM und GROUP BY 1),
+          |ori AS (SELECT u.s AS a, u.o AS b FROM und u
+          |        JOIN dg ds ON ds.v = u.s JOIN dg dd ON dd.v = u.o
+          |        WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND u.s < u.o)),
+          |w AS (SELECT e1.a, e1.b AS x, e2.b AS y
+          |      FROM ori e1 JOIN ori e2 ON e1.a = e2.a AND e1.b <> e2.b),
+          |t AS (SELECT w.a, w.x, w.y FROM w
+          |      JOIN ori cl ON cl.a = w.x AND cl.b = w.y),
+          |te AS (SELECT least(a, x) AS s, greatest(a, x) AS o FROM t
+          |       UNION ALL SELECT least(a, y), greatest(a, y) FROM t
+          |       UNION ALL SELECT least(x, y), greatest(x, y) FROM t),
+          |sup AS (SELECT s, o, count(*)::BIGINT AS common FROM te GROUP BY 1, 2)
+          |SELECT e.s, e.o, coalesce(sup.common, 0)::BIGINT AS common,
+          |       (ds.deg + dd.deg - coalesce(sup.common, 0))::BIGINT AS u,
+          |       ((100 * coalesce(sup.common, 0)) //
+          |        (ds.deg + dd.deg - coalesce(sup.common, 0)))::BIGINT AS jaccard_pct
+          |FROM e LEFT JOIN sup ON sup.s = e.s AND sup.o = e.o
+          |JOIN dg ds ON ds.v = e.s JOIN dg dd ON dd.v = e.o
+          |ORDER BY 1, 2""".stripMargin),
 
     // q65: the same per-(doc,token) combine / df aggregate / bin()-length
     // integer idf / per-doc row_number ranking — same ws-token and

@@ -425,8 +425,22 @@ object Triples {
     *
     * Nodes in no triangle are absent (count them as 0 via a left join
     * with [[nodeDegrees]] if needed). */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val sym = symmetrize(edges)
+  def triangleCounts(edges: DataFrame): DataFrame =
+    orientedTriangles(symmetrize(edges))
+      .select(explode(array(col("a"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+
+  /** Every triangle of the undirected simple graph `sym` (both edge
+    * directions present), enumerated exactly once as `(a, x, y)` with
+    * `a` the (degree, id)-smallest vertex: every undirected edge is
+    * kept ONCE, directed from its (degree, id)-smaller endpoint to its
+    * larger one, then the wedge (a→x, a→y) is closed by the oriented
+    * edge x→y. Orientation bounds any node's out-degree by O(√m)
+    * regardless of how hubby the raw graph is, so the wedge self-join —
+    * the only superlinear step — never explodes on a hub. Two shuffles
+    * (wedge join keyed by apex, closing join keyed by the (x, y)
+    * pair). */
+  private def orientedTriangles(sym: DataFrame): DataFrame = {
     val deg = sym.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
     // total order: (deg, id) — ties broken by the node id string
     val withDeg = sym
@@ -440,14 +454,53 @@ object Triples {
     // wedges at apex a: unordered leg pairs appear in both (x,y) orders;
     // the closing join against the ONE oriented direction of the (x,y)
     // edge therefore matches each triangle exactly once.
-    val wedges = oriented.select(col("a"), col("b").as("x"))
+    oriented.select(col("a"), col("b").as("x"))
       .join(oriented.select(col("a"), col("b").as("y")), Seq("a"))
       .filter(col("x") =!= col("y"))
-    val tris = wedges
       .join(oriented.select(col("a").as("x"), col("b").as("y")),
         Seq("x", "y"))
-    tris.select(explode(array(col("a"), col("x"), col("y"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .select(col("a"), col("x"), col("y"))
+  }
+
+  /** Per-edge common-neighbor support and integer-quantized neighborhood
+    * Jaccard over the undirected simple graph of `edges(s, o)` — the
+    * classic cheap candidate filter a linking pipeline runs between
+    * blocking and full pairwise similarity scoring (two entities whose
+    * co-occurrence neighborhoods barely overlap are not merge
+    * candidates; an edge's common-neighbor count is also its k-truss
+    * support, the edge-level denoising analog of [[kCorePeel]]).
+    *
+    * For every undirected edge, normalized to `s < o`:
+    * `common` = |N(s) ∩ N(o)| — computed as the edge's triangle support
+    * by re-attributing each [[orientedTriangles]] triangle to its three
+    * normalized edges (one Generate + one groupBy past the enumeration;
+    * the O(√m) orientation bound carries over, so the plan holds on a
+    * power-law 100-TB graph); `u` = |N(s) ∪ N(o)| = deg(s) + deg(o) −
+    * common by inclusion-exclusion (open neighborhoods: s and o
+    * themselves are in the union, never the intersection, so u ≥ 2 and
+    * the quotient is always defined); `jaccard_pct` = ⌊100·common/u⌋ via
+    * integral `div` — exact integers end-to-end in both engines, so the
+    * result carries a full hash oracle. */
+  def edgeJaccard(edges: DataFrame): DataFrame = {
+    val sym = symmetrize(edges)
+    val tris = orientedTriangles(sym)
+    val support = tris.select(explode(array(
+        array(least(col("a"), col("x")), greatest(col("a"), col("x"))),
+        array(least(col("a"), col("y")), greatest(col("a"), col("y"))),
+        array(least(col("x"), col("y")), greatest(col("x"), col("y")))))
+        .as("e"))
+      .select(col("e").getItem(0).as("s"), col("e").getItem(1).as("o"))
+      .groupBy(col("s"), col("o")).agg(count(lit(1)).as("common"))
+    val deg = sym.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
+    sym.filter(col("s") < col("o"))
+      .join(support, Seq("s", "o"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(deg.select(col("v").as("s"), col("deg").as("ds")), Seq("s"))
+      .join(deg.select(col("v").as("o"), col("deg").as("do")), Seq("o"))
+      .select(col("s"), col("o"), col("common"),
+        (col("ds") + col("do") - col("common")).as("u"))
+      .withColumn("jaccard_pct",
+        expr("div(100 * common, u)").cast("long"))
   }
 
   /** Bounded-round k-core peel over the undirected simple graph of

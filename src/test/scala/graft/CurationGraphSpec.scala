@@ -271,6 +271,43 @@ class CurationGraphSpec extends AnyFunSuite {
       "d" -> 1L, "e" -> 1L))
   }
 
+  // ---- per-edge neighborhood Jaccard (triangle support) ----
+
+  private def jacMap(edges: Seq[(String, String)])
+      : Map[(String, String), (Long, Long, Long)] =
+    Triples.edgeJaccard(edges.toDF("s", "o"))
+      .as[(String, String, Long, Long, Long)].collect()
+      .map { case (s, o, c, u, j) => (s, o) -> ((c, u, j)) }.toMap
+
+  test("edgeJaccard: triangle + pendant — hand-computed support/union/pct") {
+    // triangle {a,b,c}, pendant d on c.
+    //   (a,b): common {c}, u = 2+2-1 = 3, pct 33
+    //   (a,c): common {b}, u = 2+3-1 = 4, pct 25
+    //   (b,c): common {a}, u = 4, pct 25
+    //   (c,d): common {},  u = 3+1 = 4, pct 0
+    val m = jacMap(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")))
+    assert(m == Map(
+      ("a", "b") -> ((1L, 3L, 33L)),
+      ("a", "c") -> ((1L, 4L, 25L)),
+      ("b", "c") -> ((1L, 4L, 25L)),
+      ("c", "d") -> ((0L, 4L, 0L))))
+  }
+
+  test("edgeJaccard: K4 — every edge common 2, union 4, pct 50") {
+    val vs = Seq("a", "b", "c", "d")
+    val k4 = for { x <- vs; y <- vs if x < y } yield (x, y)
+    val m = jacMap(k4)
+    assert(m.keySet == k4.toSet)
+    assert(m.values.forall(_ == ((2L, 4L, 50L))))
+  }
+
+  test("edgeJaccard: noise edges (self-loop, dup, reversed) don't change it") {
+    val clean = Seq(("h", "x1"), ("h", "x2"), ("x1", "x2"))
+    val noisy = clean ++ Seq(("h", "h"), ("x2", "x1"), ("h", "x1"))
+    assert(jacMap(clean) == jacMap(noisy))
+    assert(jacMap(clean)(("h", "x1")) == ((1L, 3L, 33L)))
+  }
+
   // ---- bounded-round k-core peel ----
 
   test("kCorePeel: triangle + tail peels inward round by round") {
