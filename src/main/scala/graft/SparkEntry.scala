@@ -1461,6 +1461,26 @@ object SparkEntry {
       Triples.edgeJaccard(liftedCooccurrenceEdges(triplesFor(s, dir)))
         .orderBy("s", "o")),
 
+    "kg_truss" -> ((s, dir) =>
+      // 2-round 7-truss peel over the same lifted graph — the
+      // edge-level denoising filter, one notch stricter than kg_kcore:
+      // an edge survives a round only if its endpoints share >= 5
+      // co-attested neighbors ON THE CURRENT surviving graph, so
+      // weakly-attested links between otherwise-dense regions fall
+      // away (the merge-candidate pruning a linking pipeline runs
+      // after kg_edge_jaccard scores candidates). Bounded rounds — NOT
+      // the fixpoint — so the recurrence unrolls exactly in SQL; each
+      // round re-runs the shared degree-oriented triangle enumeration
+      // on the shrinking graph (O(√m) hub bound holds every round),
+      // and k=7 makes the cascade real at BOTH verify scales (round 2
+      // peels edges round 1's drops exposed: 611 -> 609 survivors at
+      // sf0.001, 6,688 -> 6,099 at sf0.01). Residual support reported
+      // on the final surviving graph (may be < k-2, like kg_kcore's
+      // residual degrees).
+      Triples.kTrussPeel(liftedCooccurrenceEdges(triplesFor(s, dir)),
+        k = 7, rounds = 2)
+        .orderBy("s", "o")),
+
     "q65_tfidf_topk" -> ((s, dir) =>
       // TF-IDF top-5 terms per document with the bin()-length
       // integer-quantized idf (exact integers end-to-end — a float log
@@ -2936,6 +2956,52 @@ object SparkEntry {
           |FROM e LEFT JOIN sup ON sup.s = e.s AND sup.o = e.o
           |JOIN dg ds ON ds.v = e.s JOIN dg dd ON dd.v = e.o
           |ORDER BY 1, 2""".stripMargin),
+
+    // kg_truss: the 2-round k=7 peel unrolled exactly (the kg_kcore
+    // convention) — per round, the SAME oriented triangle enumeration
+    // as kg_triangles/kg_edge_jaccard over the surviving edge set,
+    // support re-attributed to normalized edges, edges below support 5
+    // dropped; one final enumeration reports the survivors' residual
+    // support. All-integer.
+    "kg_truss" -> {
+      // every truss CTE is MATERIALIZED: each enumeration level is
+      // referenced 3+ times by the next, and without the hint DuckDB
+      // re-inlines the whole upstream chain per reference —
+      // exponential re-evaluation (hundreds of re-opens of the gold
+      // scan) across the three unrolled enumerations. Materializing at
+      // each reuse boundary makes the oracle evaluate each level once,
+      // the same shape the Spark side gets from localCheckpoint.
+      def enum(tag: String, prev: String): String =
+        s""",
+           |dg$tag AS MATERIALIZED (SELECT s AS v, count(*)::BIGINT AS deg FROM $prev GROUP BY 1),
+           |ori$tag AS MATERIALIZED (SELECT u.s AS a, u.o AS b FROM $prev u
+           |        JOIN dg$tag ds ON ds.v = u.s JOIN dg$tag dd ON dd.v = u.o
+           |        WHERE ds.deg < dd.deg OR (ds.deg = dd.deg AND u.s < u.o)),
+           |w$tag AS MATERIALIZED (SELECT e1.a, e1.b AS x, e2.b AS y
+           |      FROM ori$tag e1 JOIN ori$tag e2 ON e1.a = e2.a AND e1.b <> e2.b),
+           |t$tag AS MATERIALIZED (SELECT w.a, w.x, w.y FROM w$tag w
+           |      JOIN ori$tag cl ON cl.a = w.x AND cl.b = w.y),
+           |te$tag AS MATERIALIZED (SELECT least(a, x) AS s, greatest(a, x) AS o FROM t$tag
+           |       UNION ALL SELECT least(a, y), greatest(a, y) FROM t$tag
+           |       UNION ALL SELECT least(x, y), greatest(x, y) FROM t$tag),
+           |sup$tag AS MATERIALIZED (SELECT s, o, count(*)::BIGINT AS support FROM te$tag GROUP BY 1, 2)""".stripMargin
+      goldCte + liftedUndirectedCte +
+        (1 to 2).map { r =>
+          val prev = if (r == 1) "und" else s"u${r - 1}"
+          enum(r.toString, prev) +
+            s""",
+               |keep$r AS MATERIALIZED (SELECT ne.s, ne.o FROM (SELECT s, o FROM $prev WHERE s < o) ne
+               |        LEFT JOIN sup$r ON sup$r.s = ne.s AND sup$r.o = ne.o
+               |        WHERE coalesce(sup$r.support, 0) >= 5),
+               |u$r AS MATERIALIZED (SELECT s, o FROM keep$r UNION ALL SELECT o, s FROM keep$r)""".stripMargin
+        }.mkString +
+        enum("f", "u2") +
+        """
+          |SELECT ne.s, ne.o, coalesce(supf.support, 0)::BIGINT AS support
+          |FROM (SELECT s, o FROM u2 WHERE s < o) ne
+          |LEFT JOIN supf ON supf.s = ne.s AND supf.o = ne.o
+          |ORDER BY 1, 2""".stripMargin
+    },
 
     // q65: the same per-(doc,token) combine / df aggregate / bin()-length
     // integer idf / per-doc row_number ranking — same ws-token and

@@ -483,24 +483,73 @@ object Triples {
     * result carries a full hash oracle. */
   def edgeJaccard(edges: DataFrame): DataFrame = {
     val sym = symmetrize(edges)
-    val tris = orientedTriangles(sym)
-    val support = tris.select(explode(array(
-        array(least(col("a"), col("x")), greatest(col("a"), col("x"))),
-        array(least(col("a"), col("y")), greatest(col("a"), col("y"))),
-        array(least(col("x"), col("y")), greatest(col("x"), col("y")))))
-        .as("e"))
-      .select(col("e").getItem(0).as("s"), col("e").getItem(1).as("o"))
-      .groupBy(col("s"), col("o")).agg(count(lit(1)).as("common"))
     val deg = sym.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
-    sym.filter(col("s") < col("o"))
-      .join(support, Seq("s", "o"), "left")
-      .na.fill(0L, Seq("common"))
+    edgeSupport(sym)
+      .withColumnRenamed("support", "common")
       .join(deg.select(col("v").as("s"), col("deg").as("ds")), Seq("s"))
       .join(deg.select(col("v").as("o"), col("deg").as("do")), Seq("o"))
       .select(col("s"), col("o"), col("common"),
         (col("ds") + col("do") - col("common")).as("u"))
       .withColumn("jaccard_pct",
         expr("div(100 * common, u)").cast("long"))
+  }
+
+  /** Triangle support of every normalized (`s < o`) edge of the
+    * undirected simple graph `sym` (both directions present): each
+    * [[orientedTriangles]] triangle is re-attributed to its three
+    * least/greatest-normalized edges and counted per edge, then the
+    * counts are left-joined onto the edge list so triangle-free edges
+    * report 0. One Generate + one groupBy past the enumeration — the
+    * O(√m) orientation bound carries over. Shared by [[edgeJaccard]]
+    * (support = |N(s) ∩ N(o)|) and [[kTrussPeel]] (support is the
+    * k-truss peel criterion). */
+  private def edgeSupport(sym: DataFrame): DataFrame = {
+    val support = orientedTriangles(sym).select(explode(array(
+        array(least(col("a"), col("x")), greatest(col("a"), col("x"))),
+        array(least(col("a"), col("y")), greatest(col("a"), col("y"))),
+        array(least(col("x"), col("y")), greatest(col("x"), col("y")))))
+        .as("e"))
+      .select(col("e").getItem(0).as("s"), col("e").getItem(1).as("o"))
+      .groupBy(col("s"), col("o")).agg(count(lit(1)).as("support"))
+    sym.filter(col("s") < col("o"))
+      .join(support, Seq("s", "o"), "left")
+      .na.fill(0L, Seq("support"))
+  }
+
+  /** Bounded-round k-truss peel over the undirected simple graph of
+    * `edges(s, o)`: `rounds` times, recompute every edge's triangle
+    * support over the current surviving graph and drop every edge whose
+    * support is below `k - 2`, then report the survivors (normalized to
+    * `s < o`) with their residual support. After diameter-many rounds
+    * this IS the k-truss — the edge-level KG denoising filter, one
+    * notch stricter than [[kCorePeel]] (an edge survives only if its
+    * endpoints share ≥ k−2 co-attested neighbors, so weakly-attested
+    * links between otherwise-dense regions fall away, exactly the
+    * merge-candidate pruning a linking pipeline wants); at a fixed
+    * round count it is the incremental per-snapshot peel, and the
+    * fixed-round recurrence unrolls exactly in SQL (the [[labelProp]]
+    * discipline). Per round: one degree-oriented triangle enumeration
+    * ([[edgeSupport]] — the O(√m) hub bound holds every round, on the
+    * shrinking graph) + one filter, with an eager localCheckpoint so
+    * the plan stays flat at any round count; at cluster scale each
+    * round's survivor edge set is a committed table. Reported residual
+    * support may be below `k - 2` (the last drop exposes them — the
+    * next round's peel candidates), mirroring [[kCorePeel]]'s residual
+    * degrees. All-integer output `(s, o, support)` → full hash
+    * oracle. */
+  def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3: $k")
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    var alive = symmetrize(edges)
+    for (_ <- 1 to rounds) {
+      val keep = edgeSupport(alive)
+        .filter(col("support") >= k - 2)
+        .select(col("s"), col("o"))
+      alive = keep
+        .unionByName(keep.select(col("o").as("s"), col("s").as("o")))
+        .localCheckpoint()
+    }
+    edgeSupport(alive)
   }
 
   /** Bounded-round k-core peel over the undirected simple graph of

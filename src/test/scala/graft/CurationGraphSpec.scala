@@ -333,4 +333,45 @@ class CurationGraphSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(k1 == Map("h" -> 3L, "x1" -> 1L, "x2" -> 1L, "x3" -> 1L))
   }
+
+  // ---- bounded-round k-truss peel ----
+
+  private def trussMap(edges: Seq[(String, String)], k: Int, rounds: Int)
+      : Map[(String, String), Long] =
+    Triples.kTrussPeel(edges.toDF("s", "o"), k, rounds)
+      .as[(String, String, Long)].collect()
+      .map { case (s, o, sup) => (s, o) -> sup }.toMap
+
+  test("kTrussPeel: triangle chain — round 2 peels edges round 1 exposed") {
+    // triangles {a,b,c}, {b,c,d}, {c,d,e} chained on shared edges.
+    // Supports: bc {a,d} = 2, cd {b,e} = 2; all five other edges 1.
+    // k=4 (threshold 2): round 1 keeps only bc, cd — but on that
+    // surviving path there are no triangles left, so their RESIDUAL
+    // support is 0, and round 2 peels them too: bounded rounds ≠
+    // fixpoint, the exact semantics the SQL oracle unrolls.
+    val chain = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("b", "d"), ("c", "d"), ("c", "e"), ("d", "e"))
+    assert(trussMap(chain, k = 4, rounds = 1) ==
+      Map(("b", "c") -> 0L, ("c", "d") -> 0L))
+    assert(trussMap(chain, k = 4, rounds = 2).isEmpty)
+  }
+
+  test("kTrussPeel: K4 is a 4-truss fixpoint; empties at k=5") {
+    val vs = Seq("a", "b", "c", "d")
+    val k4 = for { x <- vs; y <- vs if x < y } yield (x, y)
+    val m = trussMap(k4, k = 4, rounds = 3)
+    assert(m.keySet == k4.toSet)
+    assert(m.values.forall(_ == 2L))
+    assert(trussMap(k4, k = 5, rounds = 1).isEmpty)
+  }
+
+  test("kTrussPeel: noise edges (self-loop, dup, reversed) don't change it") {
+    val clean = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+    val noisy = clean ++ Seq(("a", "a"), ("c", "a"), ("b", "c"))
+    // k=3 (threshold 1): the triangle survives any number of rounds
+    // with residual support 1 per edge; the pendant c-d peels in round 1.
+    val want = Map(("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 1L)
+    assert(trussMap(clean, k = 3, rounds = 2) == want)
+    assert(trussMap(noisy, k = 3, rounds = 2) == want)
+  }
 }
