@@ -33,7 +33,7 @@ object PlanAudit {
       "q66_bpe_pairs", "q67_phrase_pmi", "kg_labelprop", "kg_degree_dist",
       "q68_sessionize", "q69_rollup", "q70_cube", "q71_zorder",
       "q72_sketch_distinct", "kg_triangles", "kg_kcore",
-      "kg_edge_jaccard", "kg_truss")
+      "kg_edge_jaccard", "kg_truss", "q73_edit_pairs", "q74_prefix_jaccard")
     val sb = new StringBuilder
     for (n <- names) {
       val df = SparkEntry.queries(n)(spark, dir)

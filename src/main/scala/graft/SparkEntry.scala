@@ -1584,6 +1584,25 @@ object SparkEntry {
         seqLen = 128)
         .orderBy("doc_id")),
 
+    "q73_edit_pairs" -> ((s, dir) =>
+      // exact Levenshtein-<=2 similarity self-join over the distinct
+      // part-name vocabulary via segment-pigeonhole candidates (PassJoin)
+      // + codegen levenshtein verify — the string half of the ER matcher
+      // (q74 is the token-set half). Exact by construction, so the
+      // brute-force DuckDB levenshtein join is a full hash oracle.
+      graft.ops.EditJoin.editDistancePairs(t(s, dir, "part"), d = 2)
+        .orderBy("a", "b")),
+
+    "q74_prefix_jaccard" -> ((s, dir) =>
+      // EXACT shingle-set Jaccard >= 1/2 join via AllPairs/PPJoin prefix
+      // filtering — the exactness-preserving complement of q13's df-cap:
+      // hot shingles sort to the END of the global frequency order and
+      // never enter the candidate join; verification runs on full sorted
+      // set arrays. All-integer (j_bp basis points) -> full hash oracle.
+      Dedup.prefixJaccardPairs(t(s, dir, "documents"), n = 3,
+        tNum = 1, tDen = 2)
+        .orderBy("a", "b")),
+
     "q62_freq_quality" -> ((s, dir) =>
       // corpus-frequency quality scoring (quantized CCNet-style LM
       // filter): train-on-self unigram counts, score by hapax/rare
@@ -3579,6 +3598,36 @@ object SparkEntry {
         |  ROUND(common::DOUBLE / (na.nsh + nb.nsh - common), 4) AS jaccard
         |FROM pairs JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
         |WHERE common::DOUBLE / (na.nsh + nb.nsh - common) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+    // q73: the segment-pigeonhole candidate generation is exact (no false
+    // negatives) and verification removes false positives, so brute-force
+    // levenshtein over the distinct vocabulary IS the result.
+    "q73_edit_pairs" ->
+      """WITH n AS (SELECT p_name AS s, COUNT(*) AS w FROM part
+        |  WHERE p_name IS NOT NULL GROUP BY 1)
+        |SELECT a.s AS a, b.s AS b,
+        |  levenshtein(a.s, b.s) AS dist, a.w AS wa, b.w AS wb
+        |FROM n a JOIN n b ON a.s < b.s
+        |WHERE levenshtein(a.s, b.s) <= 2
+        |ORDER BY 1, 2""".stripMargin,
+    // q74: prefix filtering is exact over the UNCAPPED shingle universe,
+    // so the oracle is the q13 brute force without the df cap, with the
+    // rational threshold and basis-point quantization in integer math.
+    "q74_prefix_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+        |                          for i in range(1, len(w) - 1)])) AS g
+        |  FROM w WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, COUNT(*) AS nsh FROM g GROUP BY 1),
+        |p AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS common
+        |  FROM g l JOIN g r ON l.g = r.g AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a, b, common, na.nsh AS na, nb.nsh AS nb,
+        |  (common * 10000) // (na.nsh + nb.nsh - common) AS j_bp
+        |FROM p JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
+        |WHERE common * 2 >= (na.nsh + nb.nsh - common) * 1
         |ORDER BY 1, 2""".stripMargin,
     // q12: exact all-pairs simhash Hamming <= 3 — the engine's 4×15-bit
     // band blocking is pigeonhole-EXACT at maxDist 3, so the banded result

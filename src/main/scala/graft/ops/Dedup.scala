@@ -330,6 +330,71 @@ object Dedup {
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
 
+  /** EXACT shingle-set Jaccard similarity join via PREFIX FILTERING
+    * (AllPairs, Bayardo/Ma/Srikant WWW'07; the PPJoin candidate bound) —
+    * the exactness-preserving alternative to [[ngramJaccardPairs]]' lossy
+    * df cap: order every document's shingles by ascending global document
+    * frequency (rarest first, ties on the hash — one total order both
+    * engines can reproduce); if J(A, B) >= t then A and B share a shingle
+    * inside their first `|X| - ceil(t*|X|) + 1` shingles, so the
+    * candidate join runs ONLY over those prefixes. Rare shingles make
+    * rare join keys, which is the entire point: the corpus's hot
+    * shingles (the ones a df cap would drop, and the ones that go
+    * quadratic in a plain inverted index) land at the END of the
+    * frequency order and never enter the candidate join at all.
+    * Candidates then verify on the FULL sets (sorted-array intersect —
+    * per-doc bounded), so the result is exactly "every pair with
+    * J >= tNum/tDen": no false negatives (prefix theorem), no false
+    * positives (verification) — brute force re-derives it in DuckDB.
+    *
+    * 100-TB shape: one shuffle for df, one per-doc window (bounded by
+    * doc size) for the rank, a candidate equi-join keyed on rare
+    * shingles, and a verify join on doc ids carrying the pre-sorted set
+    * arrays. The threshold is rational (tNum/tDen) so the filter and the
+    * quantized output (`j_bp`, basis points) stay all-integer — hashable.
+    *
+    * Returns `(a, b, common, na, nb, j_bp)`, a < b. */
+  def prefixJaccardPairs(docs: DataFrame, n: Int = 3,
+      tNum: Int = 1, tDen: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tNum >= 1 && tDen >= tNum, s"threshold must be in (0,1]: $tNum/$tDen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val inv = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, t) =>
+        shingleSet(t, n).map(g => (id, hash64(g)))
+      })
+      .toDF(idCol, "g")
+    val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df"))
+    val ranked = inv.join(dfreq, Seq("g"))
+      .withColumn("nsh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+          .orderBy(col("df"), col("g"))))
+    // prefix length |X| - ceil(t|X|) + 1, ceil via integer arithmetic
+    val prefix = ranked.filter(col("rk") <=
+      col("nsh") - expr(s"(nsh * $tNum + ${tDen - 1}) div $tDen") + 1)
+    val cand = prefix.select(col("g"), col(idCol).as("a"))
+      .join(prefix.select(col("g"), col(idCol).as("b")), Seq("g"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sets = inv.groupBy(idCol).agg(
+      sort_array(collect_list(col("g"))).as("gs"),
+      count(lit(1)).as("nsh"))
+    cand
+      .join(sets.select(col(idCol).as("a"), col("gs").as("ga"),
+        col("nsh").as("na")), Seq("a"))
+      .join(sets.select(col(idCol).as("b"), col("gs").as("gb"),
+        col("nsh").as("nb")), Seq("b"))
+      .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("uni", col("na") + col("nb") - col("common"))
+      .filter(col("common") * tDen >= col("uni") * tNum)
+      .select(col("a"), col("b"), col("common"), col("na"), col("nb"),
+        expr("(common * 10000) div uni").as("j_bp"))
+  }
+
   // ---- incremental near-dup against a committed corpus index ----
 
   /** Commit the corpus shingle index ONCE: `table` holds
