@@ -226,7 +226,7 @@ class OperatorSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
     // pinned so a future edit that drops a query or oracle fails loudly
     // (update BOTH numbers AND the README/SURVEY counts when adding)
-    assert(qs.size == 93, s"queries: ${qs.size}")
-    assert(os.size == 90, s"oracles: ${os.size}")
+    assert(qs.size == 95, s"queries: ${qs.size}")
+    assert(os.size == 92, s"oracles: ${os.size}")
   }
 }
