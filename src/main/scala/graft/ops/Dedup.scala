@@ -366,6 +366,11 @@ object Dedup {
         shingleSet(t, n).map(g => (id, hash64(g)))
       })
       .toDF(idCol, "g")
+      // eager snapshot: the inverted index feeds FOUR consumers (df, the
+      // ranked window, both candidate sides via prefix, and the verify
+      // sets) — without it the shingling scan re-executes per consumer
+      // (the r4 recompute-hygiene class). Cluster analog: a Store commit.
+      .localCheckpoint(true)
     val dfreq = inv.groupBy("g").agg(count(lit(1)).as("df"))
     val ranked = inv.join(dfreq, Seq("g"))
       .withColumn("nsh", count(lit(1)).over(

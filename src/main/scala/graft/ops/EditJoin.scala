@@ -61,9 +61,14 @@ object EditJoin {
   def editDistancePairs(rows: DataFrame, d: Int = 2,
       nameCol: String = "p_name"): DataFrame = {
     require(d >= 1, s"maxDist must be >= 1: $d")
+    // eager snapshot: the distinct-vocabulary aggregate feeds six
+    // consumers (index, probe, both short-path sides, both weight
+    // joins) — snapshot once instead of re-scanning + re-aggregating
+    // the corpus per consumer. Vocabulary-sized, not corpus-sized.
     val names = rows.filter(col(nameCol).isNotNull)
       .groupBy(col(nameCol).as("s")).agg(count(lit(1)).as("w"))
       .withColumn("l", length(col("s")))
+      .localCheckpoint(true)
 
     // ---- segment path: both sides of a pair have length >= d+1 ----
     val indexed = names.filter(col("l") >= d + 1)
