@@ -6,12 +6,14 @@
 # within minutes (batches t, u); requiring a HELD quiet run-up selects
 # against the choppy co-tenant regime before committing 40 minutes.
 #
-# Usage: quietwatch.sh <tag> [maxWatchMin]
+# Usage: quietwatch.sh <tag> [maxWatchMin] [nFiles] [reps]
 # Fires at most once, then exits. Logs: /tmp/quietwatch_<tag>.log,
 # probe loop -> /tmp/probeloop_<tag>.log, batch -> /tmp/scaling_batch_<tag>.log
 set -u
 TAG="${1:?tag}"
 MAXMIN="${2:-150}"
+NFILES="${3:-432000}"
+REPS="${4:-3}"
 THRESH=1300
 WINDOW=8
 cd /root/repo
@@ -27,7 +29,7 @@ for i in $(seq 1 "$MAXMIN"); do
     echo "{\"fired\": \"$(date -u +%FT%TZ)\", \"streak\": $streak}" >> "/tmp/quietwatch_${TAG}.log"
     ( for j in $(seq 1 95); do python3 tools/hostprobe.py >> "/tmp/probeloop_${TAG}.log" 2>&1; sleep 30; done ) &
     PROBE_PID=$!
-    sbt -batch "runMain graft.Scaling 432000 8 2 3" > "/tmp/scaling_batch_${TAG}.log" 2>&1
+    sbt -batch "runMain graft.Scaling $NFILES 8 2 $REPS" > "/tmp/scaling_batch_${TAG}.log" 2>&1
     kill "$PROBE_PID" 2>/dev/null
     echo "{\"batch_done\": \"$(date -u +%FT%TZ)\"}" >> "/tmp/quietwatch_${TAG}.log"
     exit 0
