@@ -20,8 +20,14 @@ object QBench {
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit = {
         val graftSite = s.stageInfo.details.split("\n")
           .find(_.contains("graft.")).getOrElse("").trim.take(90)
+        // the per-operator RDD callsites inside the stage attribute
+        // broadcast-exchange build threads (whose submission stack has no
+        // graft frames) to the pipeline code they actually evaluate
+        val rdds = s.stageInfo.rddInfos.map(_.callSite)
+          .filter(c => c.contains(".scala:"))
+          .distinct.take(6).mkString(" ; ")
         stageName(s.stageInfo.stageId) =
-          s.stageInfo.name.take(40) + "|" + graftSite
+          s.stageInfo.name.take(40) + "|" + graftSite + "|rdds=" + rdds
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null)
@@ -51,7 +57,7 @@ object QBench {
       } else Triples.fromFiles(spark, Synth.corpus(spark, nFiles, 8)).count()
     val wall = (System.nanoTime()-t0)/1e9
     println(f"PROBE wall=$wall%.1f totalTaskSec=${stageTime.values.sum/1000.0}%.1f triples=$n")
-    stageTime.toSeq.sortBy(-_._2).take(15).foreach { case (id, ms) =>
+    stageTime.toSeq.sortBy(-_._2).take(25).foreach { case (id, ms) =>
       println(f"STAGE $id ${ms/1000.0}%8.1f s  ${stageName.getOrElse(id, "?")}")
     }
     spark.stop()
