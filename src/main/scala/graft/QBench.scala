@@ -1,6 +1,6 @@
 package graft
 import scala.collection.concurrent.TrieMap
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerStageSubmitted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd, SparkListenerStageSubmitted, SparkListenerJobStart, SparkListenerJobEnd}
 import org.apache.spark.sql.SparkSession
 import graft.corpus.Synth
 import graft.kg.Triples
@@ -32,6 +32,24 @@ object QBench {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null)
           stageTime.updateWith(t.stageId) { v => Some(v.getOrElse(0L) + t.taskMetrics.executorRunTime) }
+      // serial timeline: jobs are what the driver blocks on — wall per job
+      // (+ the submission gap since the previous job ended) localizes the
+      // orchestration overhead that task-time attribution can't see
+      private val jobStart = TrieMap.empty[Int, (Long, String)]
+      @volatile private var lastEnd = System.nanoTime()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+        jobStart(j.jobId) = (System.nanoTime(), site)
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        jobStart.get(j.jobId).foreach { case (t0, site) =>
+          val now = System.nanoTime()
+          val gap = (t0 - lastEnd) / 1e9
+          lastEnd = now
+          println(f"JOB ${j.jobId}%4d wall=${(now - t0) / 1e9}%7.2f gap=$gap%6.2f  $site")
+        }
+      }
     })
     val committed = args.lift(2).contains("committed")
     val t0 = System.nanoTime()

@@ -62,6 +62,23 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The two lifted edge frames, memoized per scale directory with an
+    * eager localCheckpoint (the [[triplesFor]] pattern — the KG query
+    * family shares one pipeline run AND its derived graphs): the temporal
+    * lift feeds kg_temporal_closure / kg_pagerank / kg_labelprop and the
+    * co-occurrence lift feeds kg_triangles / kg_kcore / kg_edge_jaccard /
+    * kg_truss, so without the snapshot each of those seven queries
+    * re-ran the same joins + distincts and re-planned the lift DAG. The
+    * frames are graph-sized (nodes/edges, not corpus-sized), so the
+    * retained snapshot is bounded. */
+  private def temporalEdgesFor(spark: SparkSession, dir: String): DataFrame =
+    tripleCache.getOrElseUpdate(s"$dir#temporal_edges",
+      liftedTemporalEdges(triplesFor(spark, dir)).localCheckpoint())
+
+  private def cooccurrenceEdgesFor(spark: SparkSession, dir: String): DataFrame =
+    tripleCache.getOrElseUpdate(s"$dir#cooccurrence_edges",
+      liftedCooccurrenceEdges(triplesFor(spark, dir)).localCheckpoint())
+
   /** Canonical-lifted temporal edge set over the committed triples —
     * BEFORE plus reversed AFTER, endpoints mapped through sameAs so
     * chains cross sentences via shared canonical events. Shared by
@@ -1392,7 +1409,7 @@ object SparkEntry {
       // — so the double recurrence hash-checks against the identical
       // recurrence unrolled (r0..r5) in SQL over the independent gold
       // set.
-      Triples.pageRank(liftedTemporalEdges(triplesFor(s, dir)), iters = 5)
+      Triples.pageRank(temporalEdgesFor(s, dir), iters = 5)
         .select(col("v").as("node"),
           floor(col("r") * lit(1e9) + lit(0.5)).cast("long").as("rank_ppb"))
         .orderBy("node")),
@@ -1406,7 +1423,7 @@ object SparkEntry {
       // min is binary-lexicographic in both engines, so the fixed-round
       // recurrence unrolls exactly (l0..l3) in SQL over the independent
       // gold set.
-      Triples.labelProp(liftedTemporalEdges(triplesFor(s, dir)), iters = 3)
+      Triples.labelProp(temporalEdgesFor(s, dir), iters = 3)
         .select(col("v").as("node"), col("l").as("community"))
         .orderBy("node")),
 
@@ -1432,7 +1449,7 @@ object SparkEntry {
       // real hubs (max degree 14 at sf0.001 → 40 at sf0.01; the
       // temporal BEFORE graph by contrast is near-chain, max degree 2,
       // and carries no triangles at all).
-      Triples.triangleCounts(liftedCooccurrenceEdges(triplesFor(s, dir)))
+      Triples.triangleCounts(cooccurrenceEdgesFor(s, dir))
         .orderBy("node")),
 
     "kg_kcore" -> ((s, dir) =>
@@ -1443,7 +1460,7 @@ object SparkEntry {
       // fixpoint — so the recurrence unrolls exactly in SQL, and the
       // cascade is real at both verify scales (round 2 peels nodes
       // that round 1's drops exposed).
-      Triples.kCorePeel(liftedCooccurrenceEdges(triplesFor(s, dir)),
+      Triples.kCorePeel(cooccurrenceEdgesFor(s, dir),
         k = 6, rounds = 3)
         .orderBy("node")),
 
@@ -1458,7 +1475,7 @@ object SparkEntry {
       // (Triples.edgeJaccard), so the O(√m) hub bound carries over;
       // ⌊100·common/u⌋ via integral div keeps the output exact
       // integers end-to-end → full hash oracle.
-      Triples.edgeJaccard(liftedCooccurrenceEdges(triplesFor(s, dir)))
+      Triples.edgeJaccard(cooccurrenceEdgesFor(s, dir))
         .orderBy("s", "o")),
 
     "kg_truss" -> ((s, dir) =>
@@ -1477,7 +1494,7 @@ object SparkEntry {
       // sf0.001, 6,688 -> 6,099 at sf0.01). Residual support reported
       // on the final surviving graph (may be < k-2, like kg_kcore's
       // residual degrees).
-      Triples.kTrussPeel(liftedCooccurrenceEdges(triplesFor(s, dir)),
+      Triples.kTrussPeel(cooccurrenceEdgesFor(s, dir),
         k = 7, rounds = 2)
         .orderBy("s", "o")),
 
@@ -1688,13 +1705,28 @@ object SparkEntry {
         StreamingKg.narrowTriples(s, mem.toDS()),
         Seq("hasType", "hasDuration", "speculated", "hasEntity"))
       val sinkName = s"q56sink_${q56Counter.incrementAndGet()}"
-      val q = counts.writeStream.format("memory").queryName(sinkName)
-        .outputMode(OutputMode.Append()).start()
+      // State-store partition count is sized to STATE VOLUME, not to the
+      // session's core count: this query runs two chained stateful
+      // operators over three micro-batches, and every state partition
+      // commits a checkpoint delta per operator per batch — at the
+      // session default (one partition per core) that is 6 × cores
+      // state-store commits to count a few thousand keys, nearly all
+      // fixed I/O latency. Partition count never changes the counts
+      // (state is key-hashed); production streams set
+      // spark.graft.streamShufflePartitions to match their key volume.
+      val streamParts =
+        s.conf.get("spark.graft.streamShufflePartitions", "8")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", streamParts)
       try {
-        mem.addData(batch1); q.processAllAvailable()
-        mem.addData(late); q.processAllAvailable()
-        mem.addData(sentinel); q.processAllAvailable()
-      } finally q.stop()
+        val q = counts.writeStream.format("memory").queryName(sinkName)
+          .outputMode(OutputMode.Append()).start()
+        try {
+          mem.addData(batch1); q.processAllAvailable()
+          mem.addData(late); q.processAllAvailable()
+          mem.addData(sentinel); q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sinkName)
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
@@ -1713,7 +1745,7 @@ object SparkEntry {
       // temporal contradictions surfaced by linking. Oracle: the same
       // lift + a recursive CTE over the independent gold triple set.
       Triples.transitiveClosure(
-        liftedTemporalEdges(triplesFor(s, dir)), maxHops = 12)
+        temporalEdgesFor(s, dir), maxHops = 12)
         .orderBy("s", "o")
     }),
 

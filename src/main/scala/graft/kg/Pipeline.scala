@@ -170,6 +170,24 @@ object Pipeline {
       .filter(col("p") > 0.5)
       .select("sentKey", "tokIdx", "tok")
 
+  /** Fused A1 for the composed pipeline (guide §2.3 "aggregate before you
+    * shuffle", taken to its limit): both of a token's evidence channels
+    * come from ONE `Taggers.headEvidence` call, so the keyed
+    * mean-threshold collapses to a narrow per-token mean — no
+    * two-rows-per-token evidence explode, no aggregation shuffle. Same
+    * (a+b)/2 > 0.5 arithmetic as `eventHeads(headEvidence(...))`;
+    * equality of the two paths is pinned by OperatorSpec. */
+  def headsNarrow(spark: SparkSession, sents: Dataset[Sentence]): DataFrame = {
+    import spark.implicits._
+    sents.flatMap { s =>
+      val key = sentKeyOf(s.repo, s.path, s.lineNum, s.senNum)
+      s.tokens.zipWithIndex.flatMap { case (tok, i) =>
+        val ev = Taggers.headEvidence(tok)
+        if (ev.sum / ev.size > 0.5) Some((key, i, tok)) else None
+      }
+    }.toDF("sentKey", "tokIdx", "tok")
+  }
+
   /** J4: per-sentence ordered pairs (the theta self-join,
     * joint_model.py:403-437) with the distance feature. Cardinality is
     * sentence-bounded (≤ C(heads,2) per sentence), so the N² is safe at
@@ -209,19 +227,32 @@ object Pipeline {
     * main.py:18-19). Exact-idx match wins automatically (|Δ|=0 sorts
     * first). */
   def alignHeads(heads: DataFrame, sentTokens: DataFrame): DataFrame = {
-    val toks = sentTokens
-      .select(col("sentKey"), posexplode(col("tokens")).as(Seq("bIdx", "bTok")))
-      .withColumn("bClean", regexp_replace(col("bTok"), "\\.", ""))
-    val cand = heads
-      .join(toks, Seq("sentKey"))
-      .filter(col("bClean") === regexp_replace(col("tok"), "\\.", "") &&
-        abs(col("bIdx") - col("tokIdx")) <= 2)
-    val w = Window.partitionBy("sentKey", "tokIdx")
-      .orderBy(abs(col("bIdx") - col("tokIdx")), col("bIdx"))
-    cand.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("sentKey"), col("tokIdx"), col("bIdx").as("alignedIdx"),
-        col("bTok").as("alignedTok"))
+    // The ±2 band is read DIRECTLY from the sentence's token array: one
+    // equi-join on sentKey and a narrow per-head scan of at most five
+    // candidate positions, picking min (|Δ|, bIdx). The previous form
+    // posexploded every sentence to per-token rows (a |tokens|-way
+    // blowup), joined heads against THAT (head × sentence-length fan-out
+    // before the band filter), and ran a row_number window over the
+    // candidates — two extra shuffles of corpus-sized frames for a
+    // decision that is local to (head, its sentence). Candidate set,
+    // '.'-strip rule, ±2 cutoff, and the (|Δ|, bIdx) tie-break are
+    // unchanged (OperatorSpec J1 + the q41 oracle pin them).
+    val n = size(col("tokens"))
+    val lo = greatest(col("tokIdx") - lit(2), lit(0))
+    val hi = least(col("tokIdx") + lit(2), n - lit(1))
+    val band = when(hi >= lo, sequence(lo, hi))
+      .otherwise(array().cast("array<int>"))
+    val headClean = regexp_replace(col("tok"), "\\.", "")
+    val cands = filter(band, i =>
+      regexp_replace(element_at(col("tokens"), i + 1), "\\.", "") === headClean)
+    val best = array_min(transform(cands, i =>
+      struct(abs(i - col("tokIdx")).as("d"), i.as("bIdx"))))
+    heads.join(sentTokens, Seq("sentKey"))
+      .withColumn("best", best)
+      .filter(col("best").isNotNull)
+      .select(col("sentKey"), col("tokIdx"),
+        col("best.bIdx").as("alignedIdx"),
+        element_at(col("tokens"), col("best.bIdx") + 1).as("alignedTok"))
   }
 
   /** P7 + endpoint mapping (J3): keep relations whose BOTH endpoints
@@ -335,21 +366,19 @@ object Pipeline {
       caches: Seq[DataFrame] = Seq.empty)
 
   def annotate(spark: SparkSession, files: Dataset[SourceFile]): Annotated = {
-    // range partitioning by (repo, path) — the north-rule ingest layout:
-    // matches the input table's sort order, so per-file sentences stay
-    // co-located AND key-adjacent (prefix compression, ordered snapshots).
-    // The range sampler would otherwise re-run the extraction flatMap for
-    // its sampling pass — cache the narrow result first.
-    val raw = sentences(spark, files).persist()
-    val sents = raw
-      .repartitionByRange(col("repo"), col("path"))
-      .persist()
+    // No repartition here: the extraction flatMap is narrow and every
+    // downstream relational op hash-shuffles on its own key (sentKey),
+    // so a range exchange by (repo, path) bought layout nothing in the
+    // in-memory path while costing a full sampling pass over the
+    // extraction flatMap plus a wide shuffle of the sentence frame
+    // (guide §2.4). The COMMITTED path (runCheckpointed/extract) keeps
+    // the range layout — there the stored table's order is the point.
+    val sents = sentences(spark, files).persist()
     val tagged = tagStage(spark, sents).persist()
     // materialize the shared caches BEFORE the fan-out: several downstream
     // joins broadcast subtrees of `tagged`/`sents` on separate threads, and
     // a cold cache makes each of them re-run the tagging DAG
     tagged.count()
-    raw.unpersist()
     val ann = annotateFrom(spark, sents, tagged)
     ann.copy(caches = ann.caches ++ Seq(sents.toDF(), tagged.toDF()))
   }
@@ -369,8 +398,9 @@ object Pipeline {
     // heads feeds BOTH the alignment and the pair generator; allEvents
     // feeds BOTH the duration stage and the final merge — persist each so
     // the branches share one computation instead of re-running the
-    // upstream DAG per consumer
-    val heads = eventHeads(headEvidence(spark, sents)).persist()
+    // upstream DAG per consumer. headsNarrow = the fused A1 (no evidence
+    // explode, no aggregation shuffle).
+    val heads = headsNarrow(spark, sents).persist()
     val aligned = alignHeads(heads, sentToks).persist()
     val scored = scoreRelations(relationCandidates(heads), sentToks)
     val rels = mapRelationEndpoints(filterRelations(scored), aligned)

@@ -119,7 +119,16 @@ object Store {
         val t0 = System.nanoTime()
         val df = compute
         val hasRepo = df.columns.contains("repo")
-        val writer = df.write.mode("overwrite")
+        // cluster rows by the partition column before a partitioned write
+        // (guide §6): without it every input task writes one file per
+        // repo it happens to hold — task-count × repo-count small files
+        // per stage commit, paid again at read-back listing. REBALANCE
+        // (not a fixed-count repartition) lets AQE size the shuffle
+        // output to the data — coalescing small partitions AND splitting
+        // a skewed hot repo — so the clustering is scale-adaptive, not
+        // tuned to the local core count.
+        val clustered = if (hasRepo) df.hint("rebalance", "repo") else df
+        val writer = clustered.write.mode("overwrite")
         (if (hasRepo) writer.partitionBy("repo") else writer).parquet(dataPath)
         val committed = spark.read.schema(df.schema).parquet(dataPath)
         val lineage: Seq[(String, Long)] =

@@ -547,16 +547,16 @@ object Dedup {
     * separate q60 operator). Emits (doc_id, n_grams, dup_grams, dup_ppm)
     * with dup_ppm an exact integer (`div`), so the row is hash-checkable.
     *
-    * Shape: one explode to gram positions (narrow), one groupBy-gram
-    * countDistinct (map-side partial dedup of (gram, doc) pairs — the
-    * heavy shuffle, keyed on the gram so boilerplate grams are single
-    * keys, not broadcast storms), one left-semi join back, two per-doc
-    * groupBys sharing the doc_id key. At corpus scale the gram string
-    * would be replaced by
-    * xxhash64(gram) as the shuffle key (64-bit space makes collisions
-    * negligible and cuts shuffle width ~10x); grouped on the string here
-    * so the DuckDB oracle is exact, with the hash variant one projection
-    * away. */
+    * Shape: one explode to gram positions (narrow, immediately projected
+    * to `xxhash64(gram)` — an 8-byte fixed-width shuffle key instead of
+    * a ~60-byte UTF8 10-gram string, cutting shuffle width ~8x; 64-bit
+    * space makes collisions negligible, and the DuckDB oracle
+    * re-derives POSITIONS from the strings, so the hashed key is
+    * value-invisible), one groupBy-hash countDistinct (map-side partial
+    * dedup of (gram, doc) pairs — the heavy shuffle, keyed on the gram
+    * hash so boilerplate grams are single keys, not broadcast storms),
+    * one left-semi join back, two per-doc groupBys sharing the doc_id
+    * key. */
   def crossDocNgramDup(docs: DataFrame, k: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
@@ -569,12 +569,13 @@ object Dedup {
          |  THEN transform(sequence(1, size(toks) - ${k - 1}),
          |                 i -> array_join(slice(toks, i, $k), ' '))
          |  ELSE array() END""".stripMargin)).as("gram"))
-    val dupGrams = grams.groupBy("gram")
+      .select(col(idCol), xxhash64(col("gram")).as("g"))
+    val dupGrams = grams.groupBy("g")
       .agg(count_distinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= 2).select("gram")
+      .filter(col("nd") >= 2).select("g")
     val perDocTotal = grams.groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"))
-    val perDocDup = grams.join(dupGrams, Seq("gram"), "left_semi")
+    val perDocDup = grams.join(dupGrams, Seq("g"), "left_semi")
       .groupBy(idCol).agg(count(lit(1)).as("dup_grams"))
     docs.select(col(idCol))
       .join(perDocTotal, Seq(idCol), "left")

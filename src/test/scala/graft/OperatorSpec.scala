@@ -55,6 +55,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(heads == Set(("s1", 0, "tok")))
   }
 
+  test("A1 fused path == relational path on a real corpus slice") {
+    // headsNarrow (the pipeline's shuffle-free A1) must emit exactly the
+    // rows of eventHeads(headEvidence(...)) — same mean arithmetic, same
+    // threshold — on real synthetic sentences
+    val sents = Pipeline.sentences(spark,
+      graft.corpus.Synth.corpus(spark, 30L, 6))
+    val fused = Pipeline.headsNarrow(spark, sents)
+      .as[(String, Int, String)].collect().toSet
+    val relational = Pipeline.eventHeads(Pipeline.headEvidence(spark, sents))
+      .as[(String, Int, String)].collect().toSet
+    assert(fused == relational && fused.nonEmpty)
+  }
+
   // ---- J4 pair generation (joint_model.py:403-437) ----
 
   test("J4: C(n,2) ordered pairs with distance feature, sentence-bounded") {
