@@ -79,6 +79,20 @@ object SparkEntry {
     tripleCache.getOrElseUpdate(s"$dir#cooccurrence_edges",
       liftedCooccurrenceEdges(triplesFor(spark, dir)).localCheckpoint())
 
+  /** Symmetrized co-occurrence graph and its full-graph edge support,
+    * memoized per scale dir: kg_triangles / kg_kcore / kg_edge_jaccard /
+    * kg_truss all start from the identical symmetrization, and
+    * kg_edge_jaccard's support frame IS kg_truss's first-round support
+    * (same degree-oriented triangle enumeration) — computed once per
+    * session instead of once per query. */
+  private def coocSymFor(spark: SparkSession, dir: String): DataFrame =
+    tripleCache.getOrElseUpdate(s"$dir#cooc_sym",
+      Triples.symmetrize(cooccurrenceEdgesFor(spark, dir)))
+
+  private def coocSupportFor(spark: SparkSession, dir: String): DataFrame =
+    tripleCache.getOrElseUpdate(s"$dir#cooc_support",
+      Triples.edgeSupport(coocSymFor(spark, dir)).localCheckpoint())
+
   /** Canonical-lifted temporal edge set over the committed triples —
     * BEFORE plus reversed AFTER, endpoints mapped through sameAs so
     * chains cross sentences via shared canonical events. Shared by
@@ -1449,7 +1463,7 @@ object SparkEntry {
       // real hubs (max degree 14 at sf0.001 → 40 at sf0.01; the
       // temporal BEFORE graph by contrast is near-chain, max degree 2,
       // and carries no triangles at all).
-      Triples.triangleCounts(cooccurrenceEdgesFor(s, dir))
+      Triples.triangleCountsSym(coocSymFor(s, dir))
         .orderBy("node")),
 
     "kg_kcore" -> ((s, dir) =>
@@ -1460,8 +1474,7 @@ object SparkEntry {
       // fixpoint — so the recurrence unrolls exactly in SQL, and the
       // cascade is real at both verify scales (round 2 peels nodes
       // that round 1's drops exposed).
-      Triples.kCorePeel(cooccurrenceEdgesFor(s, dir),
-        k = 6, rounds = 3)
+      Triples.kCorePeelSym(coocSymFor(s, dir), k = 6, rounds = 3)
         .orderBy("node")),
 
     "kg_edge_jaccard" -> ((s, dir) =>
@@ -1475,7 +1488,7 @@ object SparkEntry {
       // (Triples.edgeJaccard), so the O(√m) hub bound carries over;
       // ⌊100·common/u⌋ via integral div keeps the output exact
       // integers end-to-end → full hash oracle.
-      Triples.edgeJaccard(cooccurrenceEdgesFor(s, dir))
+      Triples.edgeJaccardSym(coocSymFor(s, dir), coocSupportFor(s, dir))
         .orderBy("s", "o")),
 
     "kg_truss" -> ((s, dir) =>
@@ -1494,7 +1507,7 @@ object SparkEntry {
       // sf0.001, 6,688 -> 6,099 at sf0.01). Residual support reported
       // on the final surviving graph (may be < k-2, like kg_kcore's
       // residual degrees).
-      Triples.kTrussPeel(cooccurrenceEdgesFor(s, dir),
+      Triples.kTrussPeelSym(coocSymFor(s, dir), coocSupportFor(s, dir),
         k = 7, rounds = 2)
         .orderBy("s", "o")),
 

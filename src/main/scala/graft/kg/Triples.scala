@@ -75,8 +75,11 @@ object Triples {
       .select((Seq(col("eventId"), explode(col("args")).as("arg")) ++ lineage): _*)
       .select(Seq(col("eventId"), col("arg.role").as("role"),
         col("arg.text").as("text")) ++ lineage: _*)
-    val formMap = Canonicalize.canonicalForms(spark, argMentions).persist()
-    val argTriplesRaw = Canonicalize.rewrite(argMentions, formMap, maxBroadcastRows)
+    val (formMap0, nForms) =
+      Canonicalize.canonicalFormsCounted(spark, argMentions)
+    val formMap = formMap0.persist()
+    val argTriplesRaw = Canonicalize.rewrite(argMentions, formMap,
+      maxBroadcastRows, formMapRows = nForms)
       .select(Seq(col("eventId").as("subj"), col("role").as("pred"),
         col("canonical").as("obj")) ++ lineage: _*)
     // set semantics: an event can carry the same (role, text) twice, and
@@ -292,13 +295,18 @@ object Triples {
       // accumulated set (saves a materialization job per round; plan
       // depth stays O(1), width grows by one LogicalRDD per round,
       // bounded by maxHops)
+      // LAZY checkpoint + count: count() touches every partition, which
+      // both materializes the checkpoint AND answers the convergence
+      // check — one job per round where eager-checkpoint + isEmpty was
+      // two. `next` has no concurrent consumers before the count, so the
+      // lazy fill cannot race.
       val next = frontier.select(col("s"), col("o").as("mid"))
         .join(base.select(col("s").as("mid"), col("o")), Seq("mid"))
         .select(col("s"), col("o")).distinct()
         .join(known.select("s", "o"), Seq("s", "o"), "left_anti")
         .withColumn("hops", lit(depth + 1L))
-        .localCheckpoint()
-      if (next.isEmpty) done = true
+        .localCheckpoint(false)
+      if (next.count() == 0) done = true
       else {
         known = known.unionByName(next)
         frontier = next
@@ -410,7 +418,7 @@ object Triples {
     * self-loops dropped, both directions present, duplicates removed,
     * lineage truncated once — the shared preamble of [[triangleCounts]]
     * and [[kCorePeel]]. */
-  private def symmetrize(edges: DataFrame): DataFrame = {
+  private[graft] def symmetrize(edges: DataFrame): DataFrame = {
     val und = edges.select(col("s"), col("o"))
       .filter(col("s") =!= col("o"))
     und.unionByName(und.select(col("o").as("s"), col("s").as("o")))
@@ -439,7 +447,14 @@ object Triples {
     * Nodes in no triangle are absent (count them as 0 via a left join
     * with [[nodeDegrees]] if needed). */
   def triangleCounts(edges: DataFrame): DataFrame =
-    orientedTriangles(symmetrize(edges))
+    triangleCountsSym(symmetrize(edges))
+
+  /** [[triangleCounts]] over an ALREADY-symmetrized simple graph — the
+    * entry point for callers sharing one symmetrize across the graph-op
+    * family (SparkEntry memoizes the lifted co-occurrence graph's
+    * symmetrization once per scale dir). */
+  private[graft] def triangleCountsSym(sym: DataFrame): DataFrame =
+    orientedTriangles(sym)
       .select(explode(array(col("a"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
 
@@ -496,8 +511,17 @@ object Triples {
     * result carries a full hash oracle. */
   def edgeJaccard(edges: DataFrame): DataFrame = {
     val sym = symmetrize(edges)
+    edgeJaccardSym(sym, edgeSupport(sym))
+  }
+
+  /** [[edgeJaccard]] from a pre-symmetrized graph and a pre-computed
+    * [[edgeSupport]] frame — kg_edge_jaccard and kg_truss's first round
+    * need the IDENTICAL support computation, so SparkEntry computes it
+    * once per scale dir and both queries start from the snapshot. */
+  private[graft] def edgeJaccardSym(sym: DataFrame,
+      support: DataFrame): DataFrame = {
     val deg = sym.groupBy(col("s").as("v")).agg(count(lit(1)).as("deg"))
-    edgeSupport(sym)
+    support
       .withColumnRenamed("support", "common")
       .join(deg.select(col("v").as("s"), col("deg").as("ds")), Seq("s"))
       .join(deg.select(col("v").as("o"), col("deg").as("do")), Seq("o"))
@@ -516,7 +540,7 @@ object Triples {
     * O(√m) orientation bound carries over. Shared by [[edgeJaccard]]
     * (support = |N(s) ∩ N(o)|) and [[kTrussPeel]] (support is the
     * k-truss peel criterion). */
-  private def edgeSupport(sym: DataFrame): DataFrame = {
+  private[graft] def edgeSupport(sym: DataFrame): DataFrame = {
     val support = orientedTriangles(sym).select(explode(array(
         array(least(col("a"), col("x")), greatest(col("a"), col("x"))),
         array(least(col("a"), col("y")), greatest(col("a"), col("y"))),
@@ -551,18 +575,32 @@ object Triples {
     * degrees. All-integer output `(s, o, support)` → full hash
     * oracle. */
   def kTrussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val sym = symmetrize(edges)
+    kTrussPeelSym(sym, edgeSupport(sym), k, rounds)
+  }
+
+  /** [[kTrussPeel]] from a pre-symmetrized graph and ITS pre-computed
+    * first-round [[edgeSupport]] (identical to kg_edge_jaccard's support
+    * frame — shared via SparkEntry's per-dir snapshot, so the full-graph
+    * triangle enumeration runs once per session instead of once per
+    * query); rounds 2+ re-enumerate on the shrinking survivor graph as
+    * before. */
+  private[graft] def kTrussPeelSym(sym: DataFrame, support0: DataFrame,
+      k: Int, rounds: Int): DataFrame = {
     require(k >= 3, s"k must be >= 3: $k")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    var alive = symmetrize(edges)
+    var alive = sym
+    var support = support0
     for (_ <- 1 to rounds) {
-      val keep = edgeSupport(alive)
+      val keep = support
         .filter(col("support") >= k - 2)
         .select(col("s"), col("o"))
       alive = keep
         .unionByName(keep.select(col("o").as("s"), col("s").as("o")))
         .localCheckpoint()
+      support = edgeSupport(alive)
     }
-    edgeSupport(alive)
+    support
   }
 
   /** Bounded-round k-core peel over the undirected simple graph of
@@ -580,10 +618,16 @@ object Triples {
     * round so the plan stays flat at any round count; at cluster scale
     * each round's survivor edge set is a committed table. All-integer
     * output `(node, deg)` → full hash oracle. */
-  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kCorePeelSym(symmetrize(edges), k, rounds)
+
+  /** [[kCorePeel]] over an already-symmetrized simple graph (shared
+    * symmetrization — see [[triangleCountsSym]]). */
+  private[graft] def kCorePeelSym(sym: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
-    var alive = symmetrize(edges)
+    var alive = sym
     for (_ <- 1 to rounds) {
       val keep = alive.groupBy(col("s").as("v"))
         .agg(count(lit(1)).as("deg"))

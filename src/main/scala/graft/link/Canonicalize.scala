@@ -124,7 +124,16 @@ object Canonicalize {
     * count is re-checked with a limit-guard) are solved by a driver-local
     * union-find; larger graphs run the distributed label-propagation
     * loop. Both produce the min-vid labeling — equality is unit-tested. */
-  def canonicalForms(spark: SparkSession, mentions: DataFrame): DataFrame = {
+  def canonicalForms(spark: SparkSession, mentions: DataFrame): DataFrame =
+    canonicalFormsCounted(spark, mentions)._1
+
+  /** [[canonicalForms]] plus the distinct-form count it already computes
+    * internally (one row per distinct (repo, text) — exactly the emitted
+    * map's cardinality): callers feeding the map to a gated join can pass
+    * the count as the gate's upper bound and skip the gate's own count()
+    * job — one fewer driver-blocking barrier per emit. */
+  def canonicalFormsCounted(spark: SparkSession,
+      mentions: DataFrame): (DataFrame, Long) = {
     val maxBlock =
       spark.conf.get("spark.graft.maxBlockForms", "1000").toInt
     val forms = refineBlocks(mentions, maxBlock)
@@ -176,7 +185,7 @@ object Canonicalize {
       .unionByName(forms.filter(!col("kept"))
         .select(col("repo"), col("text"), col("text").as("canonical")))
     forms.unpersist()
-    out
+    (out, nForms)
   }
 
   /** Block refinement behind `canonicalForms`' quadratic cap: distinct
@@ -227,9 +236,13 @@ object Canonicalize {
     * shuffle join (hot forms spread over 16 reducers) above. Callers
     * should cache `formMap`; the gate counts it. */
   def rewrite(mentions: DataFrame, formMap: DataFrame,
-      maxBroadcastRows: Long = 1000000L): DataFrame =
+      maxBroadcastRows: Long = 1000000L,
+      formMapRows: Long = Long.MaxValue): DataFrame =
     graft.ops.SkewJoin.gatedJoin(mentions, formMap, Seq("repo", "text"),
       saltSource = mentions.columns.toSeq, joinType = "left",
-      maxBroadcastRows = maxBroadcastRows)
+      maxBroadcastRows = maxBroadcastRows,
+      // a caller that already knows the map's cardinality (canonical-
+      // FormsCounted) resolves the gate without the count() job
+      smallUpperBound = formMapRows)
       .withColumn("canonical", coalesce(col("canonical"), col("text")))
 }

@@ -168,16 +168,26 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       bands: Int = 4, rowsPerBand: Int = 4, maxBucket: Int = 500,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cand = minhashCandidates(minhashBands(docs, n, bands, rowsPerBand,
-      idCol, textCol), bands, maxBucket, idCol)
+    // eager snapshot of the signature pass (the r4 recompute-hygiene
+    // class, same fix as prefixJaccardPairs' inverted index): the banded
+    // DAG references the signature frame through a 4-way band union ×
+    // (bucket sizes, kept, both candidate sides) — without the snapshot
+    // the 16-hash mapPartitions pass re-executes per union branch per
+    // consumer (~12 corpus passes). Cluster analog: a Store commit.
+    val cand = minhashCandidates(
+      minhashBands(docs, n, bands, rowsPerBand, idCol, textCol)
+        .localCheckpoint(true),
+      bands, maxBucket, idCol)
     // typed shingling (see ngramJaccardPairs) — the HOF form would be
-    // re-evaluated over the whole corpus for each join side
+    // re-evaluated over the whole corpus for each join side; snapshot so
+    // the two verify-join sides share one shingling pass
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, shingleSet(t, n).toSeq) })
       .toDF(idCol, "sh")
+      .localCheckpoint(true)
     cand
       .join(sh.select(col(idCol).as("a"), col("sh").as("sha_")), Seq("a"))
       .join(sh.select(col(idCol).as("b"), col("sh").as("shb_")), Seq("b"))
@@ -252,7 +262,11 @@ object Dedup {
     * bit_count(xor). */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sig = simhash(docs, idCol, textCol)
+    // eager snapshot: the banded DAG reads the signature frame through a
+    // 4-band union × both join sides — snapshot once or the signature
+    // mapPartitions re-executes ~8× (recompute hygiene, see
+    // minhashNearDups)
+    val sig = simhash(docs, idCol, textCol).localCheckpoint(true)
     val banded = (0 until SimhashBands).map { b =>
       sig.select(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), b * SimhashBandBits)
@@ -296,12 +310,18 @@ object Dedup {
     // id column (the engine's documents contract).
     val spark = docs.sparkSession
     import spark.implicits._
+    // eager snapshot: the inverted index feeds the df aggregate, the
+    // kept filter, and BOTH sides of the candidate self-join — without
+    // it the shingling flatMap re-executes per consumer (~4 corpus
+    // passes; the r4 recompute-hygiene class, same fix as
+    // prefixJaccardPairs). Cluster analog: a Store commit.
     val inv = docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         shingleSet(t, n).map(g => (id, hash64(g)))
       })
       .toDF(idCol, "g")
+      .localCheckpoint(true)
     val df_ = inv.groupBy("g").agg(count(lit(1)).as("df"))
     val kept = inv.join(df_.filter(col("df") <= maxShingleDf), Seq("g"))
       .select(col(idCol), col("g"))
@@ -420,12 +440,16 @@ object Dedup {
       textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // snapshot: feeds the df aggregate, the kept join and the per-doc
+    // size aggregate — one corpus shingling pass, not three (recompute
+    // hygiene, see ngramJaccardPairs)
     val inv = docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, t) =>
         shingleSet(t, n).map(g => (id, hash64(g)))
       })
       .toDF(idCol, "g")
+      .localCheckpoint(true)
     val df_ = inv.groupBy("g").agg(count(lit(1)).as("df"))
     val kept = inv.join(df_.filter(col("df") <= maxShingleDf), Seq("g"))
       .select(col(idCol), col("g"))
@@ -456,6 +480,9 @@ object Dedup {
         shingleSet(t, n).map(g => (id, hash64(g)))
       })
       .toDF("new_id", "g")
+      // snapshot: feeds the stop-anti-join, the per-batch size aggregate
+      // and the index join — one batch shingling pass, not three
+      .localCheckpoint(true)
     val bkept = binv.join(stop, Seq("g"), "left_anti")
     val bn = bkept.groupBy("new_id").agg(count(lit(1)).as("nb"))
     bkept.join(bn, Seq("new_id"))

@@ -47,44 +47,62 @@ object Taggers {
 
   private val maxGazLen: Int = Ontology.Gazetteer.keys.map(_.length).max
 
+  /** First tokens of the compiled-in gazetteer — lets the default NER
+    * path skip the slice-and-probe loop at every position whose token
+    * cannot start any entry (the common case), one Set probe instead of
+    * maxLen list allocations + map lookups. */
+  private val gazHeads: Set[String] = Ontology.Gazetteer.keys.map(_.head).toSet
+
   // ---- NER stage ----
 
   /** Gazetteer longest-match emissions → Viterbi → BIO tags → spans.
     * Mirrors the reference NER CRF decode path
     * (EventPipeline.py:323-330 + JsonBuilder.iob_to_obj). */
   def nerSpans(tokens: Seq[String]): Seq[NerSpan] =
-    nerSpansWith(tokens, Ontology.Gazetteer, maxGazLen)
+    nerSpansImpl(tokens, Ontology.Gazetteer, maxGazLen, gazHeads)
 
   /** Same decode with an EXTERNALLY SUPPLIED gazetteer — the S8 surface:
     * the caller loads a model checkpoint (tag.Checkpoint) and broadcasts
     * the tables; this closure reads the broadcast instead of the
     * compiled-in bootstrap. */
   def nerSpansWith(tokens: Seq[String], gazetteer: Map[Seq[String], String],
-      maxLen: Int): Seq[NerSpan] = {
+      maxLen: Int): Seq[NerSpan] =
+    nerSpansImpl(tokens, gazetteer, maxLen, null)
+
+  private def nerSpansImpl(tokens: Seq[String],
+      gazetteer: Map[Seq[String], String], maxLen: Int,
+      heads: Set[String]): Seq[NerSpan] = {
     val n = tokens.length
     if (n == 0) return Seq.empty
-    val em = Array.fill(n, NerLabels.length)(0.0)
+    // emissions allocate lazily: a sentence with no gazetteer hit decodes
+    // to the all-O path (zero emissions, first-index tie-break — the
+    // exact Viterbi result), i.e. no spans, so skip decode entirely
+    var em: Array[Array[Double]] = null
     var i = 0
     while (i < n) {
-      // longest gazetteer match starting at i
-      var len = math.min(maxLen, n - i)
-      var matched = false
-      while (len >= 1 && !matched) {
-        gazetteer.get(tokens.slice(i, i + len).toList) match {
-          case Some(tpe) =>
-            matched = true
-            em(i)(nerLabelIdx(s"B-$tpe")) = 10.0
-            em(i)(0) = -1.0
-            for (j <- i + 1 until i + len) {
-              em(j)(nerLabelIdx(s"I-$tpe")) = 10.0
-              em(j)(0) = -1.0
-            }
-            i += len - 1
-          case None => len -= 1
+      if (heads == null || heads.contains(tokens(i))) {
+        // longest gazetteer match starting at i
+        var len = math.min(maxLen, n - i)
+        var matched = false
+        while (len >= 1 && !matched) {
+          gazetteer.get(tokens.slice(i, i + len).toList) match {
+            case Some(tpe) =>
+              matched = true
+              if (em == null) em = Array.fill(n, NerLabels.length)(0.0)
+              em(i)(nerLabelIdx(s"B-$tpe")) = 10.0
+              em(i)(0) = -1.0
+              for (j <- i + 1 until i + len) {
+                em(j)(nerLabelIdx(s"I-$tpe")) = 10.0
+                em(j)(0) = -1.0
+              }
+              i += len - 1
+            case None => len -= 1
+          }
         }
       }
       i += 1
     }
+    if (em == null) return Seq.empty
     val path = Viterbi.decode(em, nerTrans)
     val tags = path.map(NerLabels(_)).toSeq
     Text.bioDecode(tags, NerB2I).map(s => NerSpan(s.start, s.end, s.label))
@@ -100,6 +118,7 @@ object Taggers {
     val inEntity = Array.fill(n)(false)
     for (s <- ner; i <- s.start to s.end if i < n) inEntity(i) = true
     val em = Array.fill(n, TriggerLabels.length)(0.0)
+    var boosted = false
     for (i <- 0 until n) {
       if (inEntity(i)) {
         // mask: only O reachable (masked_fill -1e7 analog)
@@ -109,9 +128,13 @@ object Taggers {
         Ontology.TriggerLexicon.get(lemma).foreach { case (tpe, _) =>
           em(i)(trigLabelIdx(s"B-$tpe")) = 10.0
           em(i)(0) = -1.0
+          boosted = true
         }
       }
     }
+    // no lexicon hit anywhere → the decode is the all-O path (zero/masked
+    // emissions, first-index tie-break) → no spans; skip the O(n·L²) decode
+    if (!boosted) return Seq.empty
     val path = Viterbi.decode(em, trigTrans)
     val tags = path.map(TriggerLabels(_)).toSeq
     Text.bioDecode(tags, TriggerB2I).map { s =>
@@ -174,6 +197,12 @@ object Taggers {
       subj.map(_ -> subjRole).toSeq ++
         obj.map(_ -> objRole).toSeq ++
         loc.map(_ -> locRole).toSeq
+
+    // no role assignment → zero/masked emissions decode to the all-O path
+    // (first-index tie-break) → no argument spans; skip the O(n·L²)
+    // decode and its n×L emission/backpointer allocations — this runs
+    // once per EXPANDED event, the pipeline's hottest inner call
+    if (wanted.isEmpty) return Seq.empty
 
     // emissions with masks
     val em = Array.fill(n, ArgLabels.length)(0.0)
