@@ -177,13 +177,13 @@ object Pipeline {
     * two-rows-per-token evidence explode, no aggregation shuffle. Same
     * (a+b)/2 > 0.5 arithmetic as `eventHeads(headEvidence(...))`;
     * equality of the two paths is pinned by OperatorSpec. */
-  def headsNarrow(spark: SparkSession, sents: Dataset[Sentence]): DataFrame = {
+  def headsNarrow(spark: SparkSession,
+      tagged: Dataset[TaggedSentence]): DataFrame = {
     import spark.implicits._
-    sents.flatMap { s =>
-      val key = sentKeyOf(s.repo, s.path, s.lineNum, s.senNum)
+    tagged.flatMap { s =>
       s.tokens.zipWithIndex.flatMap { case (tok, i) =>
         val ev = Taggers.headEvidence(tok)
-        if (ev.sum / ev.size > 0.5) Some((key, i, tok)) else None
+        if (ev.sum / ev.size > 0.5) Some((s.sentKey, i, tok)) else None
       }
     }.toDF("sentKey", "tokIdx", "tok")
   }
@@ -366,41 +366,44 @@ object Pipeline {
       caches: Seq[DataFrame] = Seq.empty)
 
   def annotate(spark: SparkSession, files: Dataset[SourceFile]): Annotated = {
-    // No repartition here: the extraction flatMap is narrow and every
-    // downstream relational op hash-shuffles on its own key (sentKey),
-    // so a range exchange by (repo, path) bought layout nothing in the
-    // in-memory path while costing a full sampling pass over the
-    // extraction flatMap plus a wide shuffle of the sentence frame
-    // (guide §2.4). The COMMITTED path (runCheckpointed/extract) keeps
-    // the range layout — there the stored table's order is the point.
-    val sents = sentences(spark, files).persist()
-    val tagged = tagStage(spark, sents).persist()
-    // materialize the shared caches BEFORE the fan-out: several downstream
-    // joins broadcast subtrees of `tagged`/`sents` on separate threads, and
-    // a cold cache makes each of them re-run the tagging DAG
+    // ONE cached frame, one narrow fused stage: extraction flatMap →
+    // tagging mapPartitions → tagged cache. No range repartition (the
+    // sampler re-ran the extraction flatMap and nothing downstream
+    // consumed the layout — every relational op hash-shuffles on its own
+    // key, guide §2.4) and no separate `sents` cache: the tagged frame
+    // carries sentKey + tokens, which is everything the relational core
+    // reads, so caching the sentence frame only added an encoder
+    // round-trip + columnar cache write of the whole corpus (measured:
+    // per-sentence tagging compute is ~0.15 ms while the stage cost
+    // ~1.3 ms/row — the difference was Dataset encode/cache machinery).
+    // The COMMITTED path (runCheckpointed/extract) still materializes the
+    // sentence stage — there the stored snapshot is the point.
+    val tagged = tagStage(spark, sentences(spark, files)).persist()
+    // materialize the shared cache BEFORE the fan-out: several downstream
+    // joins broadcast subtrees of `tagged` on separate threads, and a
+    // cold cache makes each of them re-run the tagging DAG
     tagged.count()
-    val ann = annotateFrom(spark, sents, tagged)
-    ann.copy(caches = ann.caches ++ Seq(sents.toDF(), tagged.toDF()))
+    val ann = annotateFrom(spark, tagged)
+    ann.copy(caches = ann.caches :+ tagged.toDF())
   }
 
-  /** The relational core of the DAG, from committed sentence/tag stages
-    * (shared by the in-memory path and the checkpoint-resumable path). */
-  def annotateFrom(spark: SparkSession, sents: Dataset[Sentence],
+  /** The relational core of the DAG, from the committed tag stage (shared
+    * by the in-memory path and the checkpoint-resumable path; the tagged
+    * frame carries sentKey + tokens, so the sentence frame is not
+    * needed). */
+  def annotateFrom(spark: SparkSession,
       tagged: Dataset[TaggedSentence]): Annotated = {
     val events = eventRows(spark, tagged)
-    // consumed by BOTH alignHeads (posexplode join side) and
+    // consumed by BOTH alignHeads (token-array join side) and
     // scoreRelations (connective window) — cache the narrow projection so
     // the two joins (and their broadcast threads) share one evaluation
-    val sentToks = sents.select(
-      concat(col("repo"), lit("/"), col("path"), lit("#L"), col("lineNum"),
-        lit(":S"), col("senNum")).as("sentKey"),
-      col("tokens")).persist()
+    val sentToks = tagged.select(col("sentKey"), col("tokens")).persist()
     // heads feeds BOTH the alignment and the pair generator; allEvents
     // feeds BOTH the duration stage and the final merge — persist each so
     // the branches share one computation instead of re-running the
     // upstream DAG per consumer. headsNarrow = the fused A1 (no evidence
     // explode, no aggregation shuffle).
-    val heads = headsNarrow(spark, sents).persist()
+    val heads = headsNarrow(spark, tagged).persist()
     val aligned = alignHeads(heads, sentToks).persist()
     val scored = scoreRelations(relationCandidates(heads), sentToks)
     val rels = mapRelationEndpoints(filterRelations(scored), aligned)
@@ -516,7 +519,7 @@ object Pipeline {
       tagStage(spark, sents).toDF()
     }.as[TaggedSentence]
     var annForced = false
-    lazy val ann = { annForced = true; annotateFrom(spark, sents, tagged) }
+    lazy val ann = { annForced = true; annotateFrom(spark, tagged) }
     val events = Store.runStage(spark, root, "events", inputSig)(ann.events)
     val rels = Store.runStage(spark, root, "relations", inputSig)(ann.relations)
     // capture emit's intermediate caches (events/formMap/blockCanon) so

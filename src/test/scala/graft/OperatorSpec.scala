@@ -61,7 +61,7 @@ class OperatorSpec extends AnyFunSuite {
     // threshold — on real synthetic sentences
     val sents = Pipeline.sentences(spark,
       graft.corpus.Synth.corpus(spark, 30L, 6))
-    val fused = Pipeline.headsNarrow(spark, sents)
+    val fused = Pipeline.headsNarrow(spark, Pipeline.tagStage(spark, sents))
       .as[(String, Int, String)].collect().toSet
     val relational = Pipeline.eventHeads(Pipeline.headEvidence(spark, sents))
       .as[(String, Int, String)].collect().toSet
