@@ -271,6 +271,28 @@ class CurationGraphSpec extends AnyFunSuite {
       "d" -> 1L, "e" -> 1L))
   }
 
+  test("shared-symmetrization entry points == edge-list entry points") {
+    // the r6 *Sym variants (SparkEntry shares one symmetrize + one
+    // first-round support across the graph family) must be row-identical
+    // to the public edge-list forms on a graph with triangles, pendants,
+    // duplicates and reversed edges
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"),
+      ("d", "e"), ("c", "e"), ("e", "f"), ("b", "a"), ("a", "b"),
+      ("b", "d"), ("c", "f")).toDF("s", "o")
+    val sym = Triples.symmetrize(edges)
+    val support = Triples.edgeSupport(sym)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Triples.triangleCountsSym(sym)) ==
+      rows(Triples.triangleCounts(edges)))
+    assert(rows(Triples.kCorePeelSym(sym, k = 2, rounds = 2)) ==
+      rows(Triples.kCorePeel(edges, k = 2, rounds = 2)))
+    assert(rows(Triples.edgeJaccardSym(sym, support)) ==
+      rows(Triples.edgeJaccard(edges)))
+    assert(rows(Triples.kTrussPeelSym(sym, support, k = 3, rounds = 2)) ==
+      rows(Triples.kTrussPeel(edges, k = 3, rounds = 2)))
+  }
+
   // ---- per-edge neighborhood Jaccard (triangle support) ----
 
   private def jacMap(edges: Seq[(String, String)])
