@@ -378,10 +378,13 @@ object Pipeline {
     // ~1.3 ms/row — the difference was Dataset encode/cache machinery).
     // The COMMITTED path (runCheckpointed/extract) still materializes the
     // sentence stage — there the stored snapshot is the point.
+    // persist (columnar cache), not localCheckpoint: tried both — the
+    // checkpoint skips the columnar encode but loses column pruning, and
+    // the tagged frame's ~8 downstream consumers mostly read narrow
+    // projections, so full-UnsafeRow scans cost MORE in total task time
+    // (332 vs 285 s at sf0.1). The count materializes the cache before
+    // the fan-out so broadcast threads never race a cold subtree.
     val tagged = tagStage(spark, sentences(spark, files)).persist()
-    // materialize the shared cache BEFORE the fan-out: several downstream
-    // joins broadcast subtrees of `tagged` on separate threads, and a
-    // cold cache makes each of them re-run the tagging DAG
     tagged.count()
     val ann = annotateFrom(spark, tagged)
     ann.copy(caches = ann.caches :+ tagged.toDF())
