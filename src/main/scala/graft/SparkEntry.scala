@@ -128,12 +128,17 @@ object SparkEntry {
   private def liftedCooccurrenceEdges(tri: DataFrame): DataFrame = {
     val canon = tri.filter(col("pred") === "sameAs")
       .select(col("subj").as("e"), col("obj").as("canon"))
+    // eager snapshot: dv feeds BOTH sides of the per-doc self-join below —
+    // without it the filter + distinct + canon join evaluates once per
+    // side (the recompute-hygiene class; the frame is (doc, canonical
+    // event) pairs, graph-sized)
     val dv = tri.filter(col("pred") === "hasType")
       .select(col("subj").as("e")).distinct()
       .join(canon, Seq("e"), "left")
       .select(substring_index(col("e"), "#L", 1).as("doc"),
         coalesce(col("canon"), col("e")).as("v"))
       .distinct()
+      .localCheckpoint(true)
     dv.as("a").join(dv.as("b"),
         col("a.doc") === col("b.doc") && col("a.v") < col("b.v"))
       .select(col("a.v").as("s"), col("b.v").as("o")).distinct()

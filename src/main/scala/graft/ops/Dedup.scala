@@ -398,9 +398,14 @@ object Dedup {
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(idCol)
           .orderBy(col("df"), col("g"))))
-    // prefix length |X| - ceil(t|X|) + 1, ceil via integer arithmetic
+    // prefix length |X| - ceil(t|X|) + 1, ceil via integer arithmetic.
+    // Snapshot: the prefix frame feeds BOTH candidate join sides — without
+    // it the df join + the two per-doc windows evaluate once per side
+    // (the same recompute-hygiene class as the `inv` snapshot above).
     val prefix = ranked.filter(col("rk") <=
       col("nsh") - expr(s"(nsh * $tNum + ${tDen - 1}) div $tDen") + 1)
+      .select(col("g"), col(idCol))
+      .localCheckpoint(true)
     val cand = prefix.select(col("g"), col(idCol).as("a"))
       .join(prefix.select(col("g"), col(idCol).as("b")), Seq("g"))
       .filter(col("a") < col("b"))
