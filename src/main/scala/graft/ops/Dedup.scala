@@ -141,8 +141,12 @@ object Dedup {
       maxBucket: Int = 500, idCol: String = "doc_id"): DataFrame = {
     val stacked = stackBands(bandsDf, bands, idCol)
     val sizes = stacked.groupBy("band", "bh").agg(count(lit(1)).as("bsz"))
+    // kept snapshots because it feeds BOTH sides of the candidate
+    // self-join — without it the bucket-size aggregate + cap join
+    // re-evaluate once per side
     val kept = stacked.join(sizes.filter(col("bsz") <= maxBucket),
       Seq("band", "bh"))
+      .localCheckpoint(true)
     val l = kept.select(col("band"), col("bh"), col(idCol).as("a"))
     val r = kept.select(col("band"), col("bh"), col(idCol).as("b"))
     l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
@@ -325,9 +329,12 @@ object Dedup {
     val df_ = inv.groupBy("g").agg(count(lit(1)).as("df"))
     val kept = inv.join(df_.filter(col("df") <= maxShingleDf), Seq("g"))
       .select(col(idCol), col("g"))
-    // per-doc sizes over the CAPPED universe (consistent with `common`)
+    // per-doc sizes over the CAPPED universe (consistent with `common`);
+    // withN snapshots because it feeds BOTH sides of the candidate
+    // self-join — without it the df cap join + size aggregate re-evaluate
+    // once per side
     val nsh = kept.groupBy(idCol).agg(count(lit(1)).as("nsh"))
-    val withN = kept.join(nsh, Seq(idCol))
+    val withN = kept.join(nsh, Seq(idCol)).localCheckpoint(true)
     val l = withN.select(col("g"), col(idCol).as("a"), col("nsh").as("na"))
     val r = withN.select(col("g"), col(idCol).as("b"), col("nsh").as("nb"))
     l.join(r, Seq("g")).filter(col("a") < col("b"))

@@ -171,7 +171,12 @@ object Similarity {
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.95,
       nPlanes: Int = 0, nTables: Int = DefaultTables, maxBucket: Int = 1000,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // eager snapshot: the bucket assignment feeds the size aggregate AND
+    // (through kept) both candidate join sides — without it the nTables×
+    // hyperplane mapPartitions pass re-executes per consumer (the same
+    // recompute-hygiene class as Dedup's signature snapshots)
     val bucketed = lshBuckets(embeddings, nPlanes, nTables, idCol, vecCol)
+      .localCheckpoint(true)
     val sizes = bucketed.groupBy("table", "bucket")
       .agg(count(lit(1)).as("bsz"))
     val kept = bucketed.join(sizes.filter(col("bsz") <= maxBucket),
